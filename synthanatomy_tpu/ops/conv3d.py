@@ -1,0 +1,124 @@
+"""3D convolution primitives with PyTorch parameter semantics, lowered
+to XLA ``conv_general_dilated`` in channels-last (NDHWC) layout — the
+TPU-native layout where the channel dim rides the 128-lane axis and XLA
+tiles the contraction onto the MXU.
+
+The reference uses cuDNN ``nn.Conv3d`` / ``nn.ConvTranspose3d`` with
+``(kernel, stride, padding, dilation[, output_padding])`` tuples
+(reference src/networks/vqvae/baseline.py:218-299); these helpers keep
+those exact shape semantics so configs and converted checkpoints map
+1:1:
+
+  conv:            out = floor((in + 2p - d(k-1) - 1)/s) + 1
+  conv_transpose:  out = (in - 1)s - 2p + d(k-1) + 1 + op
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["conv3d", "conv_transpose3d", "subpixel_upsample3d"]
+
+_DN = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+
+
+def _triple(v: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(x) for x in v)
+    assert len(t) == 3
+    return t
+
+
+def conv3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: Union[int, Sequence[int]] = 1,
+    padding: Union[int, Sequence[int]] = 0,
+    dilation: Union[int, Sequence[int]] = 1,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """x: (N, D, H, W, Cin); kernel: (kD, kH, kW, Cin, Cout)."""
+    s, p, d = _triple(stride), _triple(padding), _triple(dilation)
+    out = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=s,
+        padding=[(pi, pi) for pi in p],
+        rhs_dilation=d,
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv_transpose3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: Union[int, Sequence[int]] = 1,
+    padding: Union[int, Sequence[int]] = 0,
+    output_padding: Union[int, Sequence[int]] = 0,
+    dilation: Union[int, Sequence[int]] = 1,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Transposed conv with torch ``ConvTranspose3d`` shape semantics.
+
+    x: (N, D, H, W, Cin); kernel: (kD, kH, kW, Cin, Cout) — stored in
+    the *forward* orientation of this op (flipped + input-dilated conv
+    under the hood, the standard fractionally-strided-conv identity).
+    """
+    s, p, d = _triple(stride), _triple(padding), _triple(dilation)
+    op = _triple(output_padding)
+    k = kernel.shape[:3]
+    pads = []
+    for ki, si, pi, di, opi in zip(k, s, p, d, op):
+        lo = di * (ki - 1) - pi
+        hi = di * (ki - 1) - pi + opi + (si - 1) - (si - 1)
+        # torch: out = (in-1)s - 2p + d(k-1) + 1 + op
+        hi = lo + opi
+        pads.append((lo, hi))
+    out = lax.conv_general_dilated(
+        x,
+        jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=pads,
+        lhs_dilation=s,
+        rhs_dilation=d,
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def subpixel_upsample3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    *,
+    scale: int,
+) -> jax.Array:
+    """Sub-pixel (pixel-shuffle) upsampling: 3×3×3 conv to
+    ``out_ch·scale³`` channels followed by a 3D depth-to-space rearrange
+    (the MONAI ``SubpixelUpsample`` path selected by
+    ``use_subpixel_conv``, reference baseline.py:273-287).
+
+    kernel: (3, 3, 3, Cin, Cout·scale³).
+    """
+    n, dd, hh, ww, _ = x.shape
+    cout_r3 = kernel.shape[-1]
+    r = scale
+    cout = cout_r3 // (r**3)
+    h = conv3d(x, kernel, stride=1, padding=1, bias=bias)
+    h = h.reshape(n, dd, hh, ww, r, r, r, cout)
+    h = h.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # N, D,r, H,r, W,r, C
+    return h.reshape(n, dd * r, hh * r, ww * r, cout)
