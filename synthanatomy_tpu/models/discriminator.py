@@ -1,0 +1,109 @@
+"""3D PatchGAN discriminator (pix2pix-style).
+
+Rebuild of the reference ``BaselineDiscriminator``
+(src/networks/discriminator/baseline.py:21-88): Conv3d(k4,s2,p1) →
+LeakyReLU(0.2), ``n_layers`` blocks doubling filters (ndf base, capped
+at 8×) with BatchNorm, a stride-1 block, and a final 1-channel patch
+map; DCGAN N(0, 0.02) conv init / N(1, 0.02) norm-scale init
+(baseline.py:12-18).  Channels-last, bf16 compute, fp32 batch-norm
+statistics (the ``batch_stats`` collection).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from synthanatomy_tpu.models.vqvae import TorchConv3d
+
+__all__ = ["BaselineDiscriminator"]
+
+_dcgan_conv_init = nn.initializers.normal(stddev=0.02)
+
+
+class _DCGANConv3d(TorchConv3d):
+    """TorchConv3d with DCGAN N(0, 0.02) kernel init."""
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            _dcgan_conv_init,
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        from synthanatomy_tpu.ops.conv3d import conv3d
+
+        x = x.astype(self.dtype)
+        return conv3d(
+            x,
+            kernel.astype(self.dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            bias=None if bias is None else bias.astype(self.dtype),
+        )
+
+
+class BaselineDiscriminator(nn.Module):
+    input_nc: int = 1  # factory hardcodes 1/64/3 (configure.py:7-20)
+    ndf: int = 64
+    n_layers: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, training: bool = False) -> jax.Array:
+        """x: (B, D, H, W, input_nc) → patch logits
+        (B, D', H', W', 1)."""
+        def bn(h, name):
+            # torch BatchNorm init is scale ≈ N(1, 0.02)
+            layer = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                scale_init=lambda key, shape, dtype=jnp.float32: 1.0
+                + 0.02 * jax.random.normal(key, shape, dtype),
+                name=name,
+            )
+            return layer(h)
+
+        h = _DCGANConv3d(
+            self.ndf, kernel_size=4, stride=2, padding=1, dtype=self.dtype,
+            name="conv_0",
+        )(x)
+        h = nn.leaky_relu(h, 0.2)
+
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2**n, 8)
+            h = _DCGANConv3d(
+                self.ndf * nf_mult, kernel_size=4, stride=2, padding=1,
+                use_bias=False, dtype=self.dtype, name=f"conv_{n}",
+            )(h)
+            h = bn(h, f"norm_{n}")
+            h = nn.leaky_relu(h, 0.2)
+
+        nf_mult = min(2**self.n_layers, 8)
+        h = _DCGANConv3d(
+            self.ndf * nf_mult, kernel_size=4, stride=1, padding=1,
+            use_bias=False, dtype=self.dtype, name=f"conv_{self.n_layers}",
+        )(h)
+        h = bn(h, f"norm_{self.n_layers}")
+        h = nn.leaky_relu(h, 0.2)
+
+        h = _DCGANConv3d(
+            1, kernel_size=4, stride=1, padding=1, dtype=self.dtype,
+            name="conv_out",
+        )(h)
+        return h

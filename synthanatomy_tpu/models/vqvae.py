@@ -1,0 +1,378 @@
+"""Stage-1 network: 3D VQ-VAE (flax.linen, channels-last, bf16 policy).
+
+TPU-first rebuild of the reference ``BaselineVQVAE``
+(src/networks/vqvae/baseline.py:163-362) and its ABC ``VQVAEBase``
+(src/networks/vqvae/vqvae.py:8-192):
+
+- topology parity: per-level ``Conv3d(k,s,p,dil) → ReLU →
+  n_res_layers × ResidualLayer`` encoder with channel halving below the
+  deepest level (baseline.py:213-246); ``Conv(embed_dim→C,3)`` →
+  per-level res stacks → torch-semantics transposed convs (or sub-pixel
+  upsample on the last level) decoder with **no output activation**
+  (baseline.py:257-299);
+- the EMA codebook lives in a mutable ``"vq"`` variable collection
+  (explicit functional state — the idiomatic JAX answer to the
+  reference's in-forward buffer mutation);
+- ``decay`` / ``commitment_cost`` are *call-time arguments* so the
+  reference's runtime param schedulers (set_ema_decay /
+  set_commitment_cost, baseline.py:124-138) become plain scheduled
+  scalars fed into the jitted step — no recompilation;
+- compute runs in ``dtype`` (bf16 by default) with the VQ itself an
+  fp32 island (ops/vq.py), replacing CUDA AMP/GradScaler;
+- public ops mirror the ABC: ``encode / quantize / decode /
+  index_quantize / decode_samples / __call__``; lists-of-one typing is
+  kept at the API surface for future hierarchical VQ (run_vqvae.py:636).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from synthanatomy_tpu.ops import vq as vq_ops
+from synthanatomy_tpu.ops.conv3d import conv3d, conv_transpose3d, subpixel_upsample3d
+
+__all__ = ["BaselineVQVAE", "ResidualLayer", "TorchConv3d", "TorchConvTranspose3d"]
+
+# kaiming_uniform(a=√5) ≡ U(±√(1/fan_in)) — torch Conv3d's default init,
+# kept so training dynamics match the reference
+_torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class TorchConv3d(nn.Module):
+    """Conv3d with torch (k, s, p, dil) semantics, NDHWC/DHWIO layout."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    kernel_init: Any = _torch_conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        return conv3d(
+            x,
+            kernel.astype(self.dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            bias=None if bias is None else bias.astype(self.dtype),
+        )
+
+
+class TorchConvTranspose3d(nn.Module):
+    """ConvTranspose3d with torch (k, s, p, out_p, dil) semantics."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    kernel_init: Any = _torch_conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        return conv_transpose3d(
+            x,
+            kernel.astype(self.dtype),
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            dilation=self.dilation,
+            bias=None if bias is None else bias.astype(self.dtype),
+        )
+
+
+class SubpixelUpsample3d(nn.Module):
+    """3×3×3 conv to ``features·scale³`` channels + depth-to-space
+    (MONAI SubpixelUpsample equivalent, reference baseline.py:273-287)."""
+
+    features: int
+    scale: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        r3 = self.scale**3
+        kernel = self.param(
+            "kernel",
+            _torch_conv_init,
+            (3, 3, 3, x.shape[-1], self.features * r3),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features * r3,), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        return subpixel_upsample3d(
+            x, kernel.astype(self.dtype), bias.astype(self.dtype), scale=self.scale
+        )
+
+
+class ResidualLayer(nn.Module):
+    """Conv3d(3³, pad 1) → ReLU → Dropout → Conv3d(1³) with post-add
+    ReLU (reference baseline.py:150-160; the 1³ second conv is the
+    ``use_slim_residual`` behaviour; 3³ when slim is off)."""
+
+    channels: int
+    res_channels: int
+    dropout: float = 0.0
+    slim: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = TorchConv3d(
+            self.res_channels, kernel_size=3, padding=1, dtype=self.dtype
+        )(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.slim:
+            h = TorchConv3d(self.channels, kernel_size=1, dtype=self.dtype)(h)
+        else:
+            h = TorchConv3d(self.channels, kernel_size=3, padding=1, dtype=self.dtype)(h)
+        return nn.relu(x + h)
+
+
+class BaselineVQVAE(nn.Module):
+    """See module docstring.  Inputs/outputs are channels-last
+    ``(B, D, H, W, 1)`` volumes."""
+
+    n_levels: int = 3
+    downsample_parameters: Tuple[Tuple[int, int, int, int], ...] = (
+        (4, 2, 1, 1),
+        (4, 2, 1, 1),
+        (4, 2, 1, 1),
+    )
+    upsample_parameters: Tuple[Tuple[int, int, int, int, int], ...] = (
+        (4, 2, 1, 0, 1),
+        (4, 2, 1, 0, 1),
+        (4, 2, 1, 0, 1),
+    )
+    n_embed: int = 256
+    embed_dim: int = 256
+    n_channels: int = 144
+    n_res_channels: int = 144
+    n_res_layers: int = 3
+    dropout: float = 0.0
+    use_slim_residual: bool = True
+    use_subpixel_conv: bool = False
+    embedding_init: str = "normal"
+    dtype: Any = jnp.bfloat16
+    use_pallas_vq: Optional[bool] = None
+
+    def setup(self):
+        # ---- encoder (reference construct_encoder, baseline.py:213-246)
+        enc_convs, enc_res = [], []
+        for i in range(self.n_levels):
+            k, s, p, dil = self.downsample_parameters[i]
+            ch = self._level_channels(i)
+            enc_convs.append(
+                TorchConv3d(
+                    ch, kernel_size=k, stride=s, padding=p, dilation=dil,
+                    dtype=self.dtype, name=f"encoder_conv_{i}",
+                )
+            )
+            res_ch = self.n_res_channels // (1 if i == self.n_levels - 1 else 2)
+            enc_res.append(
+                [
+                    ResidualLayer(
+                        ch, res_ch, self.dropout, slim=self.use_slim_residual,
+                        dtype=self.dtype, name=f"encoder_res_{i}_{j}",
+                    )
+                    for j in range(self.n_res_layers)
+                ]
+            )
+        self.encoder_convs = enc_convs
+        self.encoder_res = enc_res
+        self.encoder_out_conv = TorchConv3d(
+            self.embed_dim, kernel_size=3, padding=1, dtype=self.dtype,
+            name="encoder_out_conv",
+        )
+
+        # ---- decoder (reference construct_decoder, baseline.py:257-299)
+        self.decoder_in_conv = TorchConv3d(
+            self.n_channels, kernel_size=3, padding=1, dtype=self.dtype,
+            name="decoder_in_conv",
+        )
+        dec_res, dec_ups = [], []
+        for i in range(self.n_levels):
+            ch = self.n_channels // (1 if i == 0 else 2)
+            res_ch = self.n_res_channels // (1 if i == 0 else 2)
+            dec_res.append(
+                [
+                    ResidualLayer(
+                        ch, res_ch, self.dropout, slim=self.use_slim_residual,
+                        dtype=self.dtype, name=f"decoder_res_{i}_{j}",
+                    )
+                    for j in range(self.n_res_layers)
+                ]
+            )
+            last = i == self.n_levels - 1
+            k, s, p, op, dil = self.upsample_parameters[i]
+            out_ch = 1 if last else self.n_channels // 2
+            if last and self.use_subpixel_conv:
+                dec_ups.append(
+                    SubpixelUpsample3d(
+                        out_ch, scale=s, dtype=self.dtype, name="decoder_subpixel"
+                    )
+                )
+            else:
+                dec_ups.append(
+                    TorchConvTranspose3d(
+                        out_ch, kernel_size=k, stride=s, padding=p,
+                        output_padding=op, dilation=dil, dtype=self.dtype,
+                        name=f"decoder_up_{i}",
+                    )
+                )
+        self.decoder_res = dec_res
+        self.decoder_ups = dec_ups
+
+        # ---- EMA codebook as explicit functional state
+        def _init_vq():
+            key = (
+                self.make_rng("params")
+                if self.has_rng("params")
+                else jax.random.key(0)
+            )
+            return vq_ops.init_vq_state(
+                key, self.n_embed, self.embed_dim, self.embedding_init
+            )
+
+        self.vq_state = self.variable("vq", "level_0", _init_vq)
+
+    def _level_channels(self, i: int) -> int:
+        # encoder level output channels: C for the deepest level, C/2 above
+        return self.n_channels // (1 if i == self.n_levels - 1 else 2)
+
+    # ------------------------------------------------------------------
+    # public ops (ABC parity)
+    # ------------------------------------------------------------------
+
+    def encode(self, images: jax.Array, *, deterministic: bool = True) -> List[jax.Array]:
+        x = images.astype(self.dtype)
+        for i in range(self.n_levels):
+            x = self.encoder_convs[i](x)
+            x = nn.relu(x)
+            for res in self.encoder_res[i]:
+                x = res(x, deterministic=deterministic)
+        return [self.encoder_out_conv(x)]
+
+    def quantize(
+        self,
+        encodings: List[jax.Array],
+        *,
+        decay: float = 0.5,
+        commitment_cost: float = 0.25,
+        training: bool = False,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[List[jax.Array], List[jax.Array], List[jax.Array]]:
+        """Returns ``([quantized_st], [losses], [indices])``; updates the
+        EMA codebook state when ``training``."""
+        q, loss, idx, new_state = vq_ops.quantize_ema(
+            self.vq_state.value,
+            encodings[0],
+            decay=decay,
+            commitment_cost=commitment_cost,
+            training=training,
+            use_pallas=self.use_pallas_vq,
+            axis_name=axis_name,
+        )
+        if training and not self.is_initializing():
+            self.vq_state.value = new_state
+        self.sow(
+            "diagnostics", "perplexity",
+            vq_ops.perplexity(idx, self.n_embed),
+            reduce_fn=lambda _, b: b,
+        )
+        return [q.astype(self.dtype)], [loss], [idx]
+
+    def decode(self, quantizations: List[jax.Array], *, deterministic: bool = True) -> jax.Array:
+        x = self.decoder_in_conv(quantizations[0].astype(self.dtype))
+        for i in range(self.n_levels):
+            for res in self.decoder_res[i]:
+                x = res(x, deterministic=deterministic)
+            x = self.decoder_ups[i](x)
+            if i != self.n_levels - 1:
+                x = nn.relu(x)
+        # no output activation (reference baseline.py:295)
+        return x
+
+    def index_quantize(self, images: jax.Array) -> List[jax.Array]:
+        """encode → nearest-codeword indices (the 'extracting' path,
+        reference baseline.py:342-346)."""
+        enc = self.encode(images, deterministic=True)[0]
+        flat = jnp.asarray(enc, jnp.float32).reshape(-1, self.embed_dim)
+        idx = vq_ops.nearest_codeword(
+            flat, self.vq_state.value.codebook, use_pallas=self.use_pallas_vq
+        )
+        return [idx.reshape(enc.shape[:-1])]
+
+    def decode_samples(self, embedding_indices: List[jax.Array]) -> jax.Array:
+        """indices → embed → decode (the 'decoding'/sampling path,
+        reference baseline.py:348-352)."""
+        codes = vq_ops.embed_indices(self.vq_state.value, embedding_indices[0])
+        return self.decode([codes.astype(self.dtype)], deterministic=True)
+
+    def __call__(
+        self,
+        images: jax.Array,
+        *,
+        decay: float = 0.5,
+        commitment_cost: float = 0.25,
+        training: bool = False,
+        axis_name: Optional[str] = None,
+    ) -> Dict[str, List[jax.Array]]:
+        enc = self.encode(images, deterministic=not training)
+        q, losses, _ = self.quantize(
+            enc,
+            decay=decay,
+            commitment_cost=commitment_cost,
+            training=training,
+            axis_name=axis_name,
+        )
+        recon = self.decode(q, deterministic=not training)
+        return {"reconstruction": [recon], "quantization_losses": losses}
+
+    def last_layer_name(self) -> str:
+        """Name of the final decoder submodule — its kernel is the
+        reference's ``get_last_layer`` (baseline.py:139), used for the
+        adaptive adversarial weight."""
+        if self.use_subpixel_conv:
+            return "decoder_subpixel"
+        return f"decoder_up_{self.n_levels - 1}"

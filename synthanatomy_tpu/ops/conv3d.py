@@ -79,13 +79,11 @@ def conv_transpose3d(
     s, p, d = _triple(stride), _triple(padding), _triple(dilation)
     op = _triple(output_padding)
     k = kernel.shape[:3]
+    # torch: out = (in-1)s - 2p + d(k-1) + 1 + op
     pads = []
     for ki, si, pi, di, opi in zip(k, s, p, d, op):
         lo = di * (ki - 1) - pi
-        hi = di * (ki - 1) - pi + opi + (si - 1) - (si - 1)
-        # torch: out = (in-1)s - 2p + d(k-1) + 1 + op
-        hi = lo + opi
-        pads.append((lo, hi))
+        pads.append((lo, lo + opi))
     out = lax.conv_general_dilated(
         x,
         jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype),

@@ -1,0 +1,174 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthanatomy_tpu.models.discriminator import BaselineDiscriminator
+from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+from synthanatomy_tpu.ops.conv3d import conv3d, conv_transpose3d
+
+
+def _paper_small():
+    """2-level small config (fast on CPU)."""
+    return BaselineVQVAE(
+        n_levels=2,
+        downsample_parameters=((4, 2, 1, 1), (4, 2, 1, 1)),
+        upsample_parameters=((4, 2, 1, 0, 1), (4, 2, 1, 0, 1)),
+        n_embed=32,
+        embed_dim=8,
+        n_channels=16,
+        n_res_channels=16,
+        n_res_layers=1,
+        dtype=jnp.float32,
+        use_pallas_vq=False,
+    )
+
+
+def test_conv_shapes_match_torch_formulas():
+    x = jnp.zeros((1, 16, 16, 16, 3))
+    w = jnp.zeros((4, 4, 4, 3, 5))
+    # conv: floor((16 + 2*1 - 1*(4-1) - 1)/2) + 1 = 8
+    assert conv3d(x, w, stride=2, padding=1).shape == (1, 8, 8, 8, 5)
+    # transpose: (16-1)*2 - 2*1 + (4-1) + 1 + 0 = 32
+    y = jnp.zeros((1, 16, 16, 16, 5))
+    wt = jnp.zeros((4, 4, 4, 5, 3))
+    assert conv_transpose3d(y, wt, stride=2, padding=1).shape == (1, 32, 32, 32, 3)
+    # output_padding extends the trailing edge
+    assert conv_transpose3d(y, wt, stride=2, padding=1, output_padding=1).shape == (
+        1, 33, 33, 33, 3,
+    )
+
+
+def test_conv_transpose_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 6, 5, 7, 3)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 4, 3, 2)).astype(np.float32) * 0.1
+
+    got = np.asarray(
+        conv_transpose3d(jnp.array(x), jnp.array(w), stride=2, padding=1)
+    )
+
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)  # NDHWC → NCDHW
+    tw = torch.tensor(w).permute(3, 4, 0, 1, 2)  # DHWIO → IODHW
+    ref = torch.nn.functional.conv_transpose3d(tx, tw, stride=2, padding=1)
+    ref = ref.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 8, 8, 8, 2)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 4, 2, 3)).astype(np.float32) * 0.1
+    got = np.asarray(conv3d(jnp.array(x), jnp.array(w), stride=2, padding=1, dilation=1))
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)
+    tw = torch.tensor(w).permute(4, 3, 0, 1, 2)  # DHWIO → OIDHW
+    ref = torch.nn.functional.conv3d(tx, tw, stride=2, padding=1).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vqvae_forward_shapes_and_losses():
+    model = _paper_small()
+    x = jnp.ones((2, 16, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x)
+    out, mut = model.apply(
+        variables, x, training=True, mutable=["vq", "diagnostics"]
+    )
+    assert out["reconstruction"][0].shape == (2, 16, 16, 16, 1)
+    assert len(out["quantization_losses"]) == 1
+    assert np.isfinite(float(out["quantization_losses"][0]))
+    # EMA state updated in training mode
+    assert not np.allclose(
+        np.asarray(mut["vq"]["level_0"].cluster_size),
+        np.asarray(variables["vq"]["level_0"].cluster_size),
+    )
+    # perplexity diagnostic sown
+    assert "perplexity" in mut["diagnostics"]
+
+
+def test_vqvae_eval_does_not_mutate_codebook():
+    model = _paper_small()
+    x = jnp.ones((1, 16, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x)
+    _, mut = model.apply(variables, x, training=False, mutable=["vq", "diagnostics"])
+    np.testing.assert_array_equal(
+        np.asarray(mut["vq"]["level_0"].codebook),
+        np.asarray(variables["vq"]["level_0"].codebook),
+    )
+
+
+def test_extract_decode_roundtrip():
+    """index_quantize → decode_samples must equal forward's
+    reconstruction in eval mode (the extracting/decoding contract,
+    SURVEY.md §3.2)."""
+    model = _paper_small()
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x)
+
+    idx = model.apply(variables, x, method=model.index_quantize)
+    assert idx[0].shape == (1, 4, 4, 4)
+    assert idx[0].dtype == jnp.int32
+
+    recon_via_idx = model.apply(variables, idx, method=model.decode_samples)
+    out = model.apply(variables, x, training=False, mutable=["diagnostics"])[0]
+    np.testing.assert_allclose(
+        np.asarray(recon_via_idx),
+        np.asarray(out["reconstruction"][0]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_vqvae_grads_flow_to_encoder_and_decoder():
+    model = _paper_small()
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x)
+    params = variables["params"]
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "vq": variables["vq"]},
+            x,
+            training=True,
+            mutable=["vq", "diagnostics"],
+        )
+        recon = out["reconstruction"][0]
+        return jnp.mean((recon - x) ** 2) + out["quantization_losses"][0]
+
+    grads = jax.grad(loss_fn)(params)
+    gnorms = jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads)
+    flat = jax.tree.leaves(gnorms)
+    assert all(np.isfinite(v) for v in flat)
+    # both encoder (through STE) and decoder get gradient
+    assert float(jnp.abs(grads["encoder_conv_0"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["decoder_up_1"]["kernel"]).sum()) > 0
+
+
+def test_subpixel_decoder_shape():
+    model = BaselineVQVAE(
+        n_levels=2,
+        downsample_parameters=((4, 2, 1, 1), (4, 2, 1, 1)),
+        upsample_parameters=((4, 2, 1, 0, 1), (4, 2, 1, 0, 1)),
+        n_embed=16, embed_dim=8, n_channels=8, n_res_channels=8,
+        n_res_layers=1, use_subpixel_conv=True, dtype=jnp.float32,
+        use_pallas_vq=False,
+    )
+    x = jnp.ones((1, 8, 8, 8, 1))
+    variables = model.init(jax.random.key(0), x)
+    out, _ = model.apply(variables, x, mutable=["diagnostics"])
+    assert out["reconstruction"][0].shape == (1, 8, 8, 8, 1)
+    assert model.last_layer_name() == "decoder_subpixel"
+
+
+def test_discriminator_patch_output():
+    d = BaselineDiscriminator(ndf=8, n_layers=3, dtype=jnp.float32)
+    x = jnp.ones((2, 32, 32, 32, 1))
+    variables = d.init(jax.random.key(0), x, training=True)
+    logits, mut = d.apply(variables, x, training=True, mutable=["batch_stats"])
+    # three stride-2 convs: 32 → 16 → 8 → 4; stride-1 k4p1: 3; final: 2
+    assert logits.shape == (2, 2, 2, 2, 1)
+    assert "batch_stats" in mut
+    # eval mode works with running stats
+    logits_eval = d.apply(variables, x, training=False)
+    assert logits_eval.shape == (2, 2, 2, 2, 1)
