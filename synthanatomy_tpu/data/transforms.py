@@ -1,0 +1,244 @@
+"""Host-side volume transform chain (NumPy/SciPy).
+
+Rebuild of the reference's MONAI pipeline
+(src/utils/vqvae.py:183-371): load → [scale 0-1] → [ROI crop] →
+[symmetric pad] → [random patch] → augmentations → clamp [0,1], with a
+per-sample applied-transform trace (TraceTransformsd,
+src/transforms/general/dictonary.py:10-43).  Augmentation-strength
+scalers match ``AugmentationStrengthScalers`` (src/utils/vqvae.py:46-52).
+
+Everything operates on (D, H, W) float32 arrays on host; the batch is
+staged to device by the dataset layer.  Randomness is an explicit
+``np.random.Generator`` per sample (deterministic given seed + index —
+the reference's per-rank ``set_determinism`` equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from scipy import ndimage
+
+__all__ = [
+    "scale_intensity",
+    "center_spatial_crop",
+    "spatial_crop",
+    "spatial_pad",
+    "rand_spatial_crop",
+    "clamp01",
+    "VQVAETransform",
+]
+
+# src/utils/vqvae.py:46-52
+AFFINE_ROTATE_SCALE = 0.2
+AFFINE_TRANSLATE_SCALE = 1.0
+AFFINE_SCALE_SCALE = 0.01
+ADJUST_CONTRAST_GAMMA_SCALE = 0.01
+SHIFT_INTENSITY_OFFSET_SCALE = 0.025
+GAUSSIAN_NOISE_STD_SCALE = 0.01
+
+
+def scale_intensity(x: np.ndarray, minv: float = 0.0, maxv: float = 1.0) -> np.ndarray:
+    x = x.astype(np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    if hi - lo < 1e-12:
+        return np.full_like(x, minv)
+    return (x - lo) / (hi - lo) * (maxv - minv) + minv
+
+
+def center_spatial_crop(x: np.ndarray, roi_size: Sequence[int]) -> np.ndarray:
+    slices = []
+    for dim, size in zip(x.shape, roi_size):
+        size = min(dim, size)
+        start = (dim - size) // 2
+        slices.append(slice(start, start + size))
+    return x[tuple(slices)]
+
+
+def spatial_crop(
+    x: np.ndarray, roi_start: Sequence[int], roi_end: Sequence[int]
+) -> np.ndarray:
+    slices = [
+        slice(max(0, s), min(dim, e))
+        for dim, s, e in zip(x.shape, roi_start, roi_end)
+    ]
+    return x[tuple(slices)]
+
+
+def spatial_pad(x: np.ndarray, spatial_size: Sequence[int]) -> np.ndarray:
+    """Symmetric pad up to ``spatial_size`` (SpatialPadd,
+    NumpyPadMode.SYMMETRIC)."""
+    pads = []
+    for dim, target in zip(x.shape, spatial_size):
+        total = max(0, target - dim)
+        pads.append((total // 2, total - total // 2))
+    if any(p != (0, 0) for p in pads):
+        x = np.pad(x, pads, mode="symmetric")
+    return x
+
+
+def rand_spatial_crop(
+    x: np.ndarray, roi_size: Sequence[int], rng: np.random.Generator
+) -> np.ndarray:
+    slices = []
+    for dim, size in zip(x.shape, roi_size):
+        size = min(dim, size)
+        start = int(rng.integers(0, dim - size + 1))
+        slices.append(slice(start, start + size))
+    return x[tuple(slices)]
+
+
+def clamp01(x: np.ndarray) -> np.ndarray:
+    # two ThresholdIntensityd calls (vqvae.py:357-359)
+    return np.clip(x, 0.0, 1.0)
+
+
+def _rand_affine(
+    x: np.ndarray,
+    rng: np.random.Generator,
+    *,
+    rotate_range: float,
+    translate_range: float,
+    scale_range: float,
+    spatial_size: Optional[Sequence[int]],
+) -> np.ndarray:
+    """MONAI RandAffined equivalent: random small rotation (radians,
+    per-axis), translation (voxels), isotropic-ish scale, zero padding."""
+    angles = rng.uniform(-rotate_range, rotate_range, 3)
+    trans = rng.uniform(-translate_range, translate_range, 3)
+    scales = 1.0 + rng.uniform(-scale_range, scale_range, 3)
+
+    def rot(axis, a):
+        c, s = np.cos(a), np.sin(a)
+        m = np.eye(3)
+        i, j = [k for k in range(3) if k != axis]
+        m[i, i], m[i, j], m[j, i], m[j, j] = c, -s, s, c
+        return m
+
+    R = rot(0, angles[0]) @ rot(1, angles[1]) @ rot(2, angles[2])
+    S = np.diag(scales)
+    M = R @ S
+
+    out_shape = tuple(spatial_size) if spatial_size else x.shape
+    c_in = (np.asarray(x.shape) - 1) / 2.0
+    c_out = (np.asarray(out_shape) - 1) / 2.0
+    # map output voxel -> input voxel
+    offset = c_in - M @ c_out - trans
+    return ndimage.affine_transform(
+        x, M, offset=offset, output_shape=out_shape, order=1, mode="constant", cval=0.0,
+    ).astype(np.float32)
+
+
+class VQVAETransform:
+    """The full stage-1 chain with per-sample trace.
+
+    Call with a loaded (D, H, W) volume and a seed; returns
+    ``(volume, trace)`` where trace maps transform names to whether the
+    randomized transform fired — the TraceTransformsd artifact
+    (src/handlers/vqvae.py:177-235 consumes it).
+    """
+
+    def __init__(
+        self,
+        *,
+        mode: str = "training",
+        normalize: bool = True,
+        roi: Optional[tuple] = None,
+        patch_size: Optional[Tuple[int, ...]] = None,
+        augment: bool = True,
+        augmentation_probability: float = 0.2,
+        augmentation_strength: float = 0.0,
+    ):
+        self.mode = mode
+        self.normalize = normalize
+        self.roi = roi
+        self.patch_size = patch_size
+        self.augment = augment
+        self.p = augmentation_probability
+        self.strength = augmentation_strength
+
+    def _roi_size(self):
+        if self.roi is None:
+            return None
+        if isinstance(self.roi[0], int):
+            return tuple(self.roi)
+        return tuple(b - a for a, b in self.roi)
+
+    def __call__(
+        self, x: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> Tuple[np.ndarray, Dict[str, bool]]:
+        rng = rng or np.random.default_rng(0)
+        trace: Dict[str, bool] = {}
+        x = np.asarray(x, np.float32)
+        if x.ndim > 3:
+            x = x.reshape(x.shape[:3])
+
+        if self.normalize:
+            x = scale_intensity(x)
+
+        if self.roi is not None:
+            if isinstance(self.roi[0], int):
+                x = center_spatial_crop(x, self.roi)
+            else:
+                x = spatial_crop(x, [a for a, _ in self.roi], [b for _, b in self.roi])
+            x = spatial_pad(x, self._roi_size())
+
+        if self.patch_size:
+            x = rand_spatial_crop(x, self.patch_size, rng)
+
+        if self.augment:
+            s = self.strength
+            if self.patch_size:
+                for axis in range(3):
+                    fired = bool(rng.random() < self.p)
+                    trace[f"RandFlipd_{axis}"] = fired
+                    if fired:
+                        x = np.flip(x, axis=axis)
+                for name, axes in (
+                    ("RandRotate90d_01", (0, 1)),
+                    ("RandRotate90d_12", (1, 2)),
+                    ("RandRotate90d_02", (0, 2)),
+                ):
+                    fired = bool(rng.random() < self.p)
+                    trace[name] = fired
+                    if fired:
+                        x = np.rot90(x, k=int(rng.integers(1, 4)), axes=axes)
+            else:
+                fired = bool(rng.random() < self.p)
+                trace["RandAffined"] = fired
+                if fired:
+                    x = _rand_affine(
+                        x, rng,
+                        rotate_range=0.04 + AFFINE_ROTATE_SCALE * s,
+                        translate_range=2 + int(round(AFFINE_TRANSLATE_SCALE * s)),
+                        scale_range=0.05 + AFFINE_SCALE_SCALE * s,
+                        spatial_size=self._roi_size(),
+                    )
+
+            fired = bool(rng.random() < self.p)
+            trace["RandAdjustContrastd"] = fired
+            if fired:
+                lo = 0.99 - ADJUST_CONTRAST_GAMMA_SCALE * s
+                hi = 1.01 + ADJUST_CONTRAST_GAMMA_SCALE * s
+                gamma = float(rng.uniform(lo, hi))
+                eps = 1e-7
+                mn, rngv = x.min(), x.max() - x.min()
+                x = ((x - mn) / max(rngv, eps)) ** gamma * max(rngv, eps) + mn
+
+            fired = bool(rng.random() < self.p)
+            trace["RandShiftIntensityd"] = fired
+            if fired:
+                off = float(
+                    rng.uniform(0.0, 0.05 + SHIFT_INTENSITY_OFFSET_SCALE * s)
+                )
+                x = x + off
+
+            fired = bool(rng.random() < self.p)
+            trace["RandGaussianNoised"] = fired
+            if fired:
+                std = 0.02 + GAUSSIAN_NOISE_STD_SCALE * s
+                x = x + rng.normal(0.0, std, x.shape).astype(np.float32)
+
+        x = clamp01(np.ascontiguousarray(x, np.float32))
+        return x, trace

@@ -1,0 +1,165 @@
+"""Blocked local-window causal attention.
+
+Rebuild of the windowed attention the reference's hybrid Performer
+heads consume from the CUDA ``pytorch-fast-transformers`` /
+``local-attention`` packages (reference performer.py:199-200,
+docker/Dockerfile:20): each query attends causally to its own window
+bucket and the previous one (look_backward=1), with optional rotary
+relative position applied to q/k inside the head (the
+``rel_pos_emb_config`` behaviour of the consumed package).
+
+TPU-first shape: the sequence is padded to a multiple of ``window`` and
+reshaped into (buckets, window); keys/values gather the previous bucket
+via a roll — an O(L·w) dense attention that XLA fuses well (one matmul
+of (w × 2w) per bucket).  A Pallas flash-style kernel can slot in here
+later; the op-level contract stays identical.
+
+``local_attention_step`` is the ring-buffer incremental form for
+sampling: O(w) per step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["local_attention", "local_attention_step", "rotary_sin_cos", "apply_rotary"]
+
+
+def rotary_sin_cos(dim: int, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Sinusoidal (sin, cos) tables of shape (L, dim) for rotary
+    application (GPT-NeoX-style duplicated frequencies)."""
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = jnp.einsum("i,j->ij", positions.astype(jnp.float32), inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.sin(emb), jnp.cos(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """x: (..., L, d); sin/cos: (L, d) broadcast over leading dims."""
+    return x * cos + _rotate_half(x) * sin
+
+
+def local_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    window: int,
+    causal: bool = True,
+    use_rotary: bool = True,
+) -> jax.Array:
+    """q,k,v: (B, H, L, d) → (B, H, L, d)."""
+    b, h, n, d = q.shape
+    in_dtype = v.dtype
+    scale = d**-0.5
+
+    if use_rotary:
+        pos = jnp.arange(n)
+        sin, cos = rotary_sin_cos(d, pos)
+        q = apply_rotary(q.astype(jnp.float32), sin, cos)
+        k = apply_rotary(k.astype(jnp.float32), sin, cos)
+
+    pad = (-n) % window
+    if pad:
+        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+    n_pad = n + pad
+    nb = n_pad // window
+
+    qb = q.reshape(b, h, nb, window, d)
+    kb = k.reshape(b, h, nb, window, d)
+    vb = v.reshape(b, h, nb, window, d)
+
+    # previous bucket (look_backward=1); bucket 0's "previous" is junk
+    # but fully masked below
+    k_prev = jnp.roll(kb, 1, axis=2)
+    v_prev = jnp.roll(vb, 1, axis=2)
+    k2 = jnp.concatenate([k_prev, kb], axis=3)  # (b,h,nb,2w,d)
+    v2 = jnp.concatenate([v_prev, vb], axis=3)
+
+    scores = jnp.einsum(
+        "bhnid,bhnjd->bhnij", qb.astype(jnp.float32), k2.astype(jnp.float32)
+    ) * scale  # (b,h,nb,w,2w)
+
+    # mask: key absolute position must be ≤ query absolute position
+    # (causal) and > query position - window (locality), and valid
+    q_pos = jnp.arange(n_pad).reshape(nb, window)  # (nb, w)
+    k_pos = jnp.concatenate(
+        [q_pos - window, q_pos], axis=-1
+    )  # (nb, 2w) absolute positions of gathered keys
+    valid = k_pos >= 0
+    if causal:
+        allowed = (k_pos[:, None, :] <= q_pos[:, :, None]) & (
+            k_pos[:, None, :] > q_pos[:, :, None] - window
+        )
+    else:
+        allowed = jnp.abs(k_pos[:, None, :] - q_pos[:, :, None]) < window
+    mask = allowed & valid[:, None, :]  # (nb, w, 2w)
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnij,bhnjd->bhnid", probs, v2.astype(jnp.float32))
+    out = out.reshape(b, h, n_pad, d)[:, :, :n]
+    return out.astype(in_dtype)
+
+
+def local_attention_step(
+    q_t: jax.Array,
+    k_t: jax.Array,
+    v_t: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    t: jax.Array,
+    *,
+    window: int,
+    use_rotary: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Incremental step with a ring buffer of the last ``window`` keys.
+
+    q_t/k_t/v_t: (B, H, d) at position ``t`` (int32 scalar);
+    cache_k/cache_v: (B, H, window, d) ring buffers.  Returns
+    (out_t, new_cache_k, new_cache_v).
+
+    Window semantics match :func:`local_attention`: a query at absolute
+    position t attends to positions (t-window, t] — itself plus the
+    previous ``window-1`` tokens.
+    """
+    b, h, d = q_t.shape
+    in_dtype = v_t.dtype
+    scale = d**-0.5
+
+    if use_rotary:
+        posq = jnp.reshape(t, (1,))
+        sin_q, cos_q = rotary_sin_cos(d, posq)
+        q_t = apply_rotary(q_t.astype(jnp.float32)[..., None, :], sin_q, cos_q)[..., 0, :]
+        k_t = apply_rotary(k_t.astype(jnp.float32)[..., None, :], sin_q, cos_q)[..., 0, :]
+
+    slot = jnp.mod(t, window)
+    cache_k = jax.lax.dynamic_update_index_in_dim(
+        cache_k.astype(jnp.float32), k_t.astype(jnp.float32), slot, axis=2
+    )
+    cache_v = jax.lax.dynamic_update_index_in_dim(
+        cache_v.astype(jnp.float32), v_t.astype(jnp.float32), slot, axis=2
+    )
+
+    # absolute position of each ring slot given current write at `slot`
+    slots = jnp.arange(window)
+    # slots ≤ slot hold positions t - (slot - slots); slots > slot hold
+    # t - (slot - slots) - window
+    k_pos = t - (slot - slots) - jnp.where(slots > slot, window, 0)
+    valid = (k_pos >= 0) & (k_pos > t - window) & (k_pos <= t)
+
+    scores = jnp.einsum("bhd,bhjd->bhj", q_t.astype(jnp.float32), cache_k) * scale
+    scores = jnp.where(valid[None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhj,bhjd->bhd", probs, cache_v)
+    return out.astype(in_dtype), cache_k, cache_v

@@ -1,0 +1,107 @@
+"""Stage-2 (Performer prior) jitted train/eval steps.
+
+Functional replacement for the reference transformer training loop
+(run_transformer.py:107-118 wiring + TransformerTrainingInferer,
+src/inferer/transformer.py:10-29): CE over next-token logits, Adam,
+exponential LR decay fed as a call-time scalar.  The FAVOR+ projection
+redraw (feature_redraw_interval) is a host-side call to
+``models.performer.redraw_projections`` between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from synthanatomy_tpu.losses.transformer import ce_loss
+
+__all__ = [
+    "TransformerTrainState",
+    "create_transformer_train_state",
+    "make_transformer_train_step",
+    "make_transformer_eval_step",
+]
+
+
+class TransformerTrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    favor: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_transformer_train_state(
+    model,
+    rng: jax.Array,
+    seq_len: int,
+    *,
+    learning_rate: float = 1e-4,
+    conditionings: Optional[Sequence[jax.Array]] = None,
+) -> Tuple[TransformerTrainState, optax.GradientTransformation]:
+    init_rng, favor_rng, state_rng = jax.random.split(rng, 3)
+    x = jnp.zeros((1, seq_len), jnp.int32)
+    variables = model.init(
+        {"params": init_rng, "favor": favor_rng, "dropout": init_rng},
+        x,
+        conditionings,
+    )
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+    state = TransformerTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        favor=variables.get("favor", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=state_rng,
+    )
+    return state, tx
+
+
+def make_transformer_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """step(state, inputs, targets, conditionings, sched) →
+    (state, metrics).  inputs/targets: (B, L) int (the BOS-shifted
+    pair from prepare_batch, src/utils/transformer.py:239-282)."""
+
+    def step(state, inputs, targets, conditionings, sched):
+        rng, drop_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "favor": state.favor},
+                inputs,
+                conditionings,
+                deterministic=False,
+                rngs={"dropout": drop_rng},
+            )
+            loss, summaries = ce_loss(logits, targets)
+            return loss, summaries
+
+        (loss, summaries), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            sched["lr"], jnp.float32
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {**summaries, "Loss": loss}
+
+    return step
+
+
+def make_transformer_eval_step(model) -> Callable:
+    def step(state, inputs, targets, conditionings):
+        logits = model.apply(
+            {"params": state.params, "favor": state.favor}, inputs, conditionings
+        )
+        loss, summaries = ce_loss(logits, targets)
+        return logits, {**summaries, "Loss": loss}
+
+    return step

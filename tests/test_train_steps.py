@@ -1,0 +1,177 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthanatomy_tpu.models.discriminator import BaselineDiscriminator
+from synthanatomy_tpu.models.performer import Performer
+from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+from synthanatomy_tpu.train import schedulers
+from synthanatomy_tpu.train.transformer_steps import (
+    create_transformer_train_state,
+    make_transformer_eval_step,
+    make_transformer_train_step,
+)
+from synthanatomy_tpu.train.vqvae_steps import (
+    create_vqvae_train_state,
+    make_vqvae_eval_step,
+    make_vqvae_train_step,
+)
+
+
+def _small_vqvae():
+    return BaselineVQVAE(
+        n_levels=2,
+        downsample_parameters=((4, 2, 1, 1), (4, 2, 1, 1)),
+        upsample_parameters=((4, 2, 1, 0, 1), (4, 2, 1, 0, 1)),
+        n_embed=16, embed_dim=8, n_channels=8, n_res_channels=8,
+        n_res_layers=1, dtype=jnp.float32, use_pallas_vq=False,
+    )
+
+
+SCHED = {
+    "lr": 3e-4, "d_lr": 5e-4, "decay": 0.5, "commitment_cost": 0.25,
+    "gdl_factor": 0.0, "epoch": 0,
+}
+
+
+def test_vqvae_train_step_mse_decreases_loss():
+    model = _small_vqvae()
+    state, g_tx, _ = create_vqvae_train_state(
+        model, jax.random.key(0), (16, 16, 16), learning_rate=1e-3
+    )
+    step = jax.jit(make_vqvae_train_step(model, g_tx, loss_name="mse"))
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, x, SCHED)
+        losses.append(float(metrics["Loss-MSE-Reconstruction"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+    assert np.isfinite(losses).all()
+    assert "VQ0-Perplexity" in metrics
+
+
+def test_vqvae_train_step_adversarial():
+    model = _small_vqvae()
+    d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)
+    state, g_tx, d_tx = create_vqvae_train_state(
+        model, jax.random.key(0), (16, 16, 16), d_model=d_model
+    )
+    step = jax.jit(
+        make_vqvae_train_step(
+            model, g_tx, loss_name="mse", d_model=d_model, d_tx=d_tx,
+            generator_criterion="least_square",
+            discriminator_criterion="least_square",
+        )
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+    d0 = state.d_params
+    state, metrics = step(state, x, SCHED)
+    assert "Loss-Discriminator-Total" in metrics
+    assert "Loss-Adversarial_Generator-Reconstruction" in metrics
+    assert np.isfinite(float(metrics["Loss-Generator-Total"]))
+    # both networks actually updated
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)), d0, state.d_params
+    )
+    assert any(jax.tree.leaves(changed))
+
+
+def test_vqvae_adaptive_weight_path():
+    model = _small_vqvae()
+    d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)
+    state, g_tx, d_tx = create_vqvae_train_state(
+        model, jax.random.key(0), (16, 16, 16), d_model=d_model
+    )
+    step = jax.jit(
+        make_vqvae_train_step(
+            model, g_tx, loss_name="mse", d_model=d_model, d_tx=d_tx,
+            use_adaptive_weight=True, adaptive_threshold=2, adaptive_value=7.0,
+        )
+    )
+    x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 16, 1))
+    # below threshold: fixed value
+    _, m0 = step(state, x, {**SCHED, "epoch": 0})
+    assert float(m0["Adversarial-Weight"]) == 7.0
+    # above threshold: grad-norm ratio (finite, positive)
+    _, m1 = step(state, x, {**SCHED, "epoch": 5})
+    w = float(m1["Adversarial-Weight"])
+    assert np.isfinite(w) and w >= 0.0 and w != 7.0
+
+
+def test_vqvae_finetune_gate_freezes_generator():
+    model = _small_vqvae()
+    d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)
+    state, g_tx, d_tx = create_vqvae_train_state(
+        model, jax.random.key(0), (16, 16, 16), d_model=d_model
+    )
+    step = jax.jit(
+        make_vqvae_train_step(
+            model, g_tx, loss_name="mse", d_model=d_model, d_tx=d_tx,
+            train_generator=False,
+        )
+    )
+    x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 16, 1))
+    g0 = state.g_params
+    state, _ = step(state, x, SCHED)
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), g0, state.g_params
+    )
+    assert all(jax.tree.leaves(same))
+
+
+def test_vqvae_eval_step():
+    model = _small_vqvae()
+    state, _, _ = create_vqvae_train_state(model, jax.random.key(0), (16, 16, 16))
+    eval_step = jax.jit(make_vqvae_eval_step(model, loss_name="mse"))
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+    recon, metrics = eval_step(state, x, SCHED)
+    assert recon.shape == x.shape
+    assert np.isfinite(float(metrics["Loss"]))
+
+
+def test_transformer_train_step_learns():
+    model = Performer(
+        num_tokens=9, max_seq_len=16, dim=16, depth=1, heads=2, dim_head=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 16, learning_rate=1e-2
+    )
+    step = jax.jit(make_transformer_train_step(model, tx))
+    # learnable pattern: constant token sequence
+    inputs = jnp.full((4, 16), 8, jnp.int32).at[:, 1:].set(3)
+    targets = jnp.full((4, 16), 3, jnp.int32)
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, inputs, targets, None, {"lr": 1e-2})
+        losses.append(float(metrics["Loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+    eval_step = jax.jit(make_transformer_eval_step(model))
+    logits, em = eval_step(state, inputs, targets, None)
+    assert logits.shape == (4, 16, 9)
+    # model learned to predict token 3
+    assert (np.asarray(logits[:, 5:]).argmax(-1) == 3).mean() > 0.9
+
+
+def test_scheduler_calculators_match_reference_semantics():
+    # linear: constant below step_constant, capped at max above
+    assert schedulers.linear(0.0, 25, 50, 5.0, 10) == 0.0
+    assert schedulers.linear(0.0, 25, 50, 5.0, 100) == 5.0
+    mid = schedulers.linear(0.0, 25, 50, 5.0, 40)
+    assert 0 < mid < 5.0
+    # exponential / step / multistep
+    assert schedulers.exponential(1.0, 0.9, 2) == pytest.approx(0.81)
+    assert schedulers.step(1.0, 0.5, 10, 25) == pytest.approx(0.25)
+    assert schedulers.multistep(1.0, 0.1, [3, 7], 5) == pytest.approx(0.1)
+    # auto gamma reaches 1e-5 at the end of training
+    g = schedulers.get_gamma(3e-4, epochs=100, epoch_length=10)
+    assert 3e-4 * g ** (100 * 10) == pytest.approx(1e-5, rel=1e-6)
+    # decay warmups end at 0.99
+    assert schedulers.decay_warmup_step(0.5, 50, 49) == pytest.approx(0.99)
+    assert schedulers.decay_warmup_linear(0.5, 50, 50) == pytest.approx(0.99)
+    with pytest.raises(ValueError):
+        schedulers.get_calculator("cosine")
