@@ -1,0 +1,77 @@
+"""Device mesh + sharding utilities.
+
+The TPU-native replacement for the reference's entire distributed
+stack — deepspeed ``init_distributed(nccl)`` + torch DDP +
+DistributedSampler + explicit ``dist.all_reduce`` (SURVEY.md §2.10,
+§5.8; reference run_vqvae.py:71-77, 832-846; baseline.py:70-72).
+
+Design: a ``jax.sharding.Mesh`` with a ``data`` axis (DP) and an
+optional ``model`` axis (TP for the Performer).  Batches are sharded on
+``data``; parameters/codebook are replicated (or model-sharded);
+gradient and EMA-statistic reductions are inserted by GSPMD and ride
+ICI.  Multi-host: ``jax.distributed.initialize()`` + per-host data
+sharding replaces the env-rank/NCCL plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "host_shard_info",
+]
+
+
+def make_mesh(
+    mesh_shape: Optional[Sequence[int]] = None,
+    axis_names: Tuple[str, ...] = ("data", "model"),
+    *,
+    devices=None,
+) -> Mesh:
+    """Build a mesh over all devices.  Default: everything on the
+    ``data`` axis, ``model`` axis of size 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n,) + (1,) * (len(axis_names) - 1)
+    mesh_shape = tuple(int(s) for s in mesh_shape)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(
+            f"mesh_shape {mesh_shape} does not cover {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names[: len(mesh_shape)])
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim on 'data', replicate the rest."""
+    spec = PartitionSpec("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a (possibly nested) host batch with the leading axis
+    sharded over 'data'."""
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree.map(_put, batch)
+
+
+def host_shard_info() -> Tuple[int, int]:
+    """(shard_id, num_shards) for per-host data loading — the
+    DistributedSampler replacement.  Single-process: (0, 1)."""
+    return jax.process_index(), jax.process_count()

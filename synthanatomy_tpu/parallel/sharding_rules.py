@@ -1,0 +1,71 @@
+"""Parameter partition specs (tensor parallelism).
+
+The reference has no TP (SURVEY.md §2.10) — this is the TPU-native
+scale-out the rebuild adds: Megatron-style sharding of the Performer's
+attention heads and FF hidden dim over the ``model`` mesh axis.
+Column-parallel into the heads/hidden (activations sharded on the
+feature dim), row-parallel back out (GSPMD inserts the psum), token/
+positional embeddings and LayerNorms replicated.  The VQ-VAE runs pure
+DP — its conv channel counts are small enough that TP would be
+ICI-bound.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["performer_param_spec", "param_shardings", "shard_params"]
+
+# (path regex, spec) — first match wins.  Paths are '/'-joined key
+# sequences into the flax params tree.
+_PERFORMER_RULES = (
+    # attention projections: column-parallel in, row-parallel out
+    (re.compile(r".*(to_q|to_k|to_v)/kernel$"), P(None, "model")),
+    (re.compile(r".*(to_q|to_k|to_v)/bias$"), P("model")),
+    (re.compile(r".*to_out/kernel$"), P("model", None)),
+    (re.compile(r".*to_out/bias$"), P()),
+    # feed-forward
+    (re.compile(r".*ff/w1/kernel$"), P(None, "model")),
+    (re.compile(r".*ff/w1/bias$"), P("model")),
+    (re.compile(r".*ff/w2/kernel$"), P("model", None)),
+    (re.compile(r".*ff/w2/bias$"), P()),
+    # output head: shard the vocab dim
+    (re.compile(r".*to_out$"), P()),
+    (re.compile(r"to_out/kernel$"), P(None, "model")),
+)
+
+
+def performer_param_spec(path: str, leaf) -> P:
+    for rx, spec in _PERFORMER_RULES:
+        if rx.match(path):
+            # guard: axis must divide the dimension; fall back to
+            # replication otherwise (e.g. tiny test models)
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
+    """NamedSharding pytree for a params tree, validating divisibility."""
+    model_size = mesh.shape.get("model", 1)
+
+    def _one(path_tuple, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        spec = spec_fn(path, leaf)
+        # drop axes that do not divide evenly (small test configs)
+        fixed = []
+        for dim, ax in zip(leaf.shape, tuple(spec) + (None,) * (leaf.ndim - len(spec))):
+            if ax == "model" and dim % max(model_size, 1) != 0:
+                fixed.append(None)
+            else:
+                fixed.append(ax)
+        return NamedSharding(mesh, P(*fixed))
+
+    return jax.tree_util.tree_map_with_path(_one, params)
+
+
+def shard_params(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
+    return jax.device_put(params, param_shardings(mesh, params, spec_fn))

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from synthanatomy_tpu.models.performer import Performer
+from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+from synthanatomy_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from synthanatomy_tpu.parallel.sharding_rules import param_shardings, shard_params
+from synthanatomy_tpu.train.transformer_steps import (
+    create_transformer_train_state,
+    make_transformer_train_step,
+)
+from synthanatomy_tpu.train.vqvae_steps import (
+    create_vqvae_train_state,
+    make_vqvae_train_step,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    mesh2 = make_mesh((2, 4))
+    assert mesh2.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_vqvae_dp_train_step_sharded_equals_single_device():
+    """The full adversarial-free VQVAE train step under an 8-way data
+    mesh must match the unsharded result (gradient + EMA psum
+    correctness)."""
+    model = BaselineVQVAE(
+        n_levels=1,
+        downsample_parameters=((4, 2, 1, 1),),
+        upsample_parameters=((4, 2, 1, 0, 1),),
+        n_embed=8, embed_dim=4, n_channels=4, n_res_channels=4,
+        n_res_layers=1, dtype=jnp.float32, use_pallas_vq=False,
+    )
+    state, g_tx, _ = create_vqvae_train_state(model, jax.random.key(0), (8, 8, 8))
+    step = make_vqvae_train_step(model, g_tx, loss_name="mse")
+    sched = {"lr": 1e-3, "d_lr": 0, "decay": 0.5, "commitment_cost": 0.25,
+             "gdl_factor": 0.0, "epoch": 0}
+    x = jax.random.uniform(jax.random.key(1), (8, 8, 8, 8, 1))
+
+    ref_state, ref_metrics = jax.jit(step)(state, x, sched)
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, data_sharding(mesh, x.ndim))
+    state_s = jax.device_put(state, replicated(mesh))
+    with jax.set_mesh(mesh):
+        out_state, out_metrics = jax.jit(step)(state_s, xs, sched)
+
+    np.testing.assert_allclose(
+        float(out_metrics["Loss-MSE-Reconstruction"]),
+        float(ref_metrics["Loss-MSE-Reconstruction"]),
+        rtol=1e-5,
+    )
+    ref_cb = np.asarray(ref_state.vq["level_0"].codebook)
+    out_cb = np.asarray(out_state.vq["level_0"].codebook)
+    np.testing.assert_allclose(out_cb, ref_cb, rtol=1e-4, atol=1e-5)
+
+
+def test_performer_tp_dp_train_step():
+    """Transformer train step over a 2(data)×4(model) mesh with real
+    Megatron-style parameter shardings compiles, runs and matches the
+    single-device step."""
+    model = Performer(
+        num_tokens=9, max_seq_len=16, dim=16, depth=2, heads=4, dim_head=4,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 16, learning_rate=1e-3
+    )
+    step = make_transformer_train_step(model, tx)
+    inputs = jax.random.randint(jax.random.key(1), (8, 16), 0, 8)
+    targets = jax.random.randint(jax.random.key(2), (8, 16), 0, 8)
+
+    ref_state, ref_metrics = jax.jit(step)(state, inputs, targets, None, {"lr": 1e-3})
+
+    mesh = make_mesh((2, 4))
+    shardings = param_shardings(mesh, state.params)
+    # at least the attention/ff kernels must actually be sharded
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    sharded_paths = [
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, s in flat
+        if s.spec != P()
+    ]
+    assert any("to_q/kernel" in p for p in sharded_paths)
+    assert any("ff/w1/kernel" in p for p in sharded_paths)
+
+    state_s = state.replace(
+        params=shard_params(mesh, state.params),
+        favor=jax.device_put(state.favor, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+    xi = jax.device_put(inputs, data_sharding(mesh, 2))
+    xt = jax.device_put(targets, data_sharding(mesh, 2))
+    with jax.set_mesh(mesh):
+        out_state, out_metrics = jax.jit(step)(state_s, xi, xt, None, {"lr": 1e-3})
+
+    np.testing.assert_allclose(
+        float(out_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-4
+    )
+    # updated params equal the single-device update
+    a = np.asarray(jax.device_get(out_state.params["block_0"]["attn"]["to_q"]["kernel"]))
+    b = np.asarray(ref_state.params["block_0"]["attn"]["to_q"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = {"MRI": np.zeros((8, 4, 4, 4, 1), np.float32)}
+    out = shard_batch(mesh, batch)
+    assert out["MRI"].sharding.spec == P("data", None, None, None, None)
