@@ -143,7 +143,13 @@ def load_conditionings(
 
 
 class VolumeDataset:
-    """NIfTI volumes through the VQVAE transform chain."""
+    """NIfTI volumes through the VQVAE transform chain.
+
+    Uses the native C++ loader (fused gzip inflate + dtype→f32,
+    synthanatomy_tpu.native) when the toolchain is available, falling
+    back to the pure-Python reader; canonical RAS reorientation is
+    applied either way.
+    """
 
     def __init__(
         self,
@@ -152,18 +158,43 @@ class VolumeDataset:
         *,
         load_nii_canonical: bool = True,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.subjects = list(subjects)
         self.transform = transform
         self.canonical = load_nii_canonical
         self.seed = seed
+        self._native = None
+        if use_native:
+            try:
+                from synthanatomy_tpu.native import (
+                    load_nifti_native,
+                    native_available,
+                )
+
+                if native_available():
+                    self._native = load_nifti_native
+            except Exception:
+                self._native = None
 
     def __len__(self):
         return len(self.subjects)
 
+    def _load(self, path: str):
+        from synthanatomy_tpu.data.nifti import NiftiImage, closest_canonical
+
+        if self._native is not None:
+            vol, affine = self._native(path)
+            img = NiftiImage(vol, affine)
+        else:
+            img = load_nifti(path, as_closest_canonical=False)
+        if self.canonical:
+            img = closest_canonical(img)
+        return img
+
     def get(self, index: int, epoch: int = 0) -> Dict[str, Any]:
         subj = self.subjects[index]
-        img = load_nifti(subj["MRI"], as_closest_canonical=self.canonical)
+        img = self._load(subj["MRI"])
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, index])
         )

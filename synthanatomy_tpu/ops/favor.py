@@ -135,7 +135,9 @@ def generalized_kernel_features(
 
 def _noncausal_linear_attention(q_p, k_p, v):
     k_sum = jnp.sum(k_p, axis=-2)  # (..., m)
-    d_inv = 1.0 / jnp.einsum("...nd,...d->...n", q_p, k_sum)
+    d_inv = 1.0 / jnp.maximum(
+        jnp.einsum("...nd,...d->...n", q_p, k_sum), 1e-12
+    )
     context = jnp.einsum("...nd,...ne->...de", k_p, v)
     return jnp.einsum("...de,...nd,...n->...ne", context, q_p, d_inv)
 
@@ -166,7 +168,10 @@ def _causal_linear_attention_chunked(q_p, k_p, v, chunk: int):
         inter = jnp.einsum("bhim,bhmd->bhid", qi, S)
         num = intra + inter
         den = jnp.einsum("bhij->bhi", scores) + jnp.einsum("bhim,bhm->bhi", qi, z)
-        out_i = num / den[..., None]
+        # clamp: padded rows have all-zero features → 0/0 would emit a
+        # forward NaN in discarded rows whose *backward* (0-cotangent ÷
+        # 0) still poisons the scan-carried gradients
+        out_i = num / jnp.maximum(den, 1e-12)[..., None]
         S = S + jnp.einsum("bhjm,bhjd->bhmd", ki, vi)
         z = z + jnp.sum(ki, axis=-2)
         return (S, z), out_i
@@ -252,6 +257,6 @@ def favor_attention_step(
     S = S + jnp.einsum("bhm,bhd->bhmd", k_p, v32)
     z = z + k_p
     num = jnp.einsum("bhm,bhmd->bhd", q_p, S)
-    den = jnp.einsum("bhm,bhm->bh", q_p, z)
+    den = jnp.maximum(jnp.einsum("bhm,bhm->bh", q_p, z), 1e-12)
     out = num / den[..., None]
     return out.astype(v_t.dtype), (S, z)

@@ -51,6 +51,24 @@ def make_mesh(
     return Mesh(dev_array, axis_names[: len(mesh_shape)])
 
 
+def make_data_mesh_for_batch(
+    batch_size: int,
+    mesh_shape: Optional[Sequence[int]] = None,
+    *,
+    devices=None,
+) -> Mesh:
+    """Data-axis mesh whose size divides ``batch_size`` (uses the
+    largest such device count) — keeps small debug batches runnable on
+    many-device hosts while using every device when batch allows."""
+    if mesh_shape is not None:
+        return make_mesh(mesh_shape, ("data",), devices=devices)
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh((n,), ("data",), devices=devices[:n])
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim on 'data', replicate the rest."""
     spec = PartitionSpec("data", *([None] * (ndim - 1)))

@@ -1,0 +1,354 @@
+"""Stage-2 orchestration: training / inference (sampling).
+
+Rebuild of the reference transformer entry-point bodies
+(run_transformer.py:47-293 training; :296-402 inference): latent `.npy`
+dataflow + conditioning join, latent-grid shape peeked from data, the
+Ordering, the Performer, CE training with exponential LR decay and
+FAVOR+ projection redraw, and batch sampling written as
+``*_sample.npy`` uint16 (run_transformer.py:390-398) — via the
+KV-cached fast sampler.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from synthanatomy_tpu.config import TransformerConfig
+
+
+def build_ordering(config: TransformerConfig, latent_shape):
+    from synthanatomy_tpu.models.ordering import Ordering
+
+    return Ordering(
+        config.ordering_type,
+        3,
+        tuple(latent_shape),
+        reflected_spatial_dims=config.reflected_spatial_dims or (),
+        transpositions_axes=config.transpositions_axes or (),
+        rot90_axes=config.rot90_axes or (),
+        transformation_order=config.transformation_order,
+        seed=config.seed,
+    )
+
+
+def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=None):
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.models.performer import Performer
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    seq_len = int(np.prod(latent_shape)) + 1  # + BOS (run_transformer.py:74)
+    return Performer(
+        num_tokens=config.vocab_size + 1,  # + BOS token (run_transformer.py:71)
+        max_seq_len=seq_len,
+        dim=config.n_embd,
+        depth=config.n_layers,
+        heads=config.n_head,
+        dim_head=config.dim_head,
+        local_attn_heads=config.local_attn_heads,
+        local_window_size=config.local_window_size,
+        nb_features=config.nb_features,
+        feature_redraw_interval=config.feature_redraw_interval,
+        generalized_attention=config.generalized_attention,
+        ff_mult=config.ff_mult,
+        ff_glu=config.ff_glu,
+        ff_chunks=config.ff_chunks,
+        emb_dropout=config.emb_dropout,
+        ff_dropout=config.ff_dropout,
+        attn_dropout=config.attn_dropout,
+        use_rezero=config.use_rezero,
+        use_scalenorm=config.use_scalenorm,
+        tie_embed=config.tie_embed,
+        qkv_bias=config.qkv_bias,
+        attn_out_bias=config.attn_out_bias,
+        rotary_position_emb=config.position_emb == "rotary",
+        fixed_position_emb=config.position_emb == "fixed",
+        axial_position_emb=config.position_emb == "axial",
+        spatial_position_emb=config.spatial_position_emb,
+        spatial_shape=tuple(latent_shape) if config.spatial_position_emb else None,
+        ordering=ordering if config.spatial_position_emb else None,
+        conditioning_num_tokens=config.conditioning_num_tokens,
+        conditioning_type=(
+            config.conditioning_type if config.conditioning_num_tokens else "none"
+        ),
+        dtype=dtype,
+    )
+
+
+def prepare_batch(latents: np.ndarray, ordering, vocab_size: int):
+    """(B, H, W, D) int grids → (inputs, targets) (B, L) with BOS
+    left-pad and next-token shift (reference prepare_batch,
+    src/utils/transformer.py:239-282)."""
+    b = latents.shape[0]
+    flat = latents.reshape(b, -1)
+    seq = flat[:, ordering.get_sequence_ordering()]
+    bos = np.full((b, 1), vocab_size, seq.dtype)
+    padded = np.concatenate([bos, seq], axis=1)
+    return padded[:, :-1].astype(np.int32), padded[:, 1:].astype(np.int32)
+
+
+def _make_datasets(config: TransformerConfig, logger):
+    from synthanatomy_tpu.data.datasets import (
+        LatentDataset,
+        discover_subjects,
+        load_conditionings,
+    )
+
+    def build(path):
+        subjects = discover_subjects(path, extension=".npy")
+        cond_values = None
+        names = [os.path.basename(s["MRI"]) for s in subjects]
+        if config.conditioning_path and config.conditionings:
+            cond_values, vocab, kept = load_conditionings(
+                config.conditioning_path, config.conditionings, names, logger=logger
+            )
+            subjects = [subjects[i] for i in kept]
+        return LatentDataset(
+            subjects,
+            conditioning_values=cond_values,
+            conditioning_names=config.conditionings or (),
+        )
+
+    return build(config.training_subjects), (
+        build(config.validation_subjects) if config.validation_subjects else None
+    )
+
+
+def training(config: TransformerConfig) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.data.datasets import PrefetchLoader
+    from synthanatomy_tpu.models.performer import redraw_projections
+    from synthanatomy_tpu.parallel.mesh import (
+        host_shard_info,
+        make_data_mesh_for_batch,
+        replicated,
+        shard_batch,
+    )
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train import schedulers as S
+    from synthanatomy_tpu.train.logging import TBLogger
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+        make_transformer_eval_step,
+        make_transformer_train_step,
+    )
+    from synthanatomy_tpu.utils.general import basic_initialization, log_network_size
+
+    logger, dirs, ckpt_path, starting_epoch, rng = basic_initialization(
+        config, "transformer-training"
+    )
+    shard_id, num_shards = host_shard_info()
+    train_ds, val_ds = _make_datasets(config, logger)
+    if config.conditionings and train_ds.conditioning_num_tokens:
+        object.__setattr__(
+            config, "conditioning_num_tokens", train_ds.conditioning_num_tokens
+        )
+
+    train_loader = PrefetchLoader(
+        train_ds, config.batch_size, shuffle=True, drop_last=True,
+        num_workers=config.num_workers, prefetch=config.prefetch_factor,
+        shard_id=shard_id, num_shards=num_shards, seed=config.seed,
+        collate_keys=("latents",),
+    )
+    val_loader = (
+        PrefetchLoader(
+            val_ds, config.eval_batch_size, shuffle=False, drop_last=False,
+            num_workers=config.num_workers, shard_id=shard_id,
+            num_shards=num_shards, collate_keys=("latents",),
+        )
+        if val_ds
+        else None
+    )
+    epoch_length = len(train_loader)
+
+    # peek the latent grid shape from the data (run_transformer.py:54-56)
+    first = next(iter(train_loader.epoch(0)))
+    latent_shape = first["latents"].shape[1:4]
+    object.__setattr__(config, "latent_shape", tuple(int(s) for s in latent_shape))
+    logger.info(f"Latent shape: {latent_shape}")
+
+    ordering = build_ordering(config, latent_shape)
+    model = build_performer(config, ordering, latent_shape)
+    seq_len = int(np.prod(latent_shape))
+
+    conds0 = (
+        [jnp.zeros((1,), jnp.int32) for _ in config.conditionings]
+        if config.conditioning_num_tokens
+        else None
+    )
+    state, tx = create_transformer_train_state(
+        model, rng, seq_len, learning_rate=config.learning_rate,
+        conditionings=conds0,
+    )
+    log_network_size(state.params, logger, "performer")
+    if ckpt_path:
+        state = C.load_checkpoint(ckpt_path, state)
+        logger.info(f"Restored checkpoint from {ckpt_path}")
+
+    mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
+    step_fn = jax.jit(make_transformer_train_step(model, tx))
+    eval_fn = jax.jit(make_transformer_eval_step(model))
+    tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
+    tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)
+
+    gamma = config.gamma
+    if gamma == "auto":
+        gamma = S.get_gamma(config.learning_rate, config.epochs, epoch_length)
+
+    state = jax.device_put(state, replicated(mesh))
+    history: List[Dict[str, float]] = []
+    best_metric = np.inf
+    redraw_key = jax.random.key(config.seed + 1234)
+    steps_since_redraw = 0
+
+    with jax.set_mesh(mesh):
+        for epoch in range(max(starting_epoch, 0), config.epochs):
+            t0 = time.time()
+            lr = config.learning_rate * float(gamma) ** (epoch * epoch_length)
+            epoch_loss, n_it = 0.0, 0
+            for batch in train_loader.epoch(epoch):
+                inputs, targets = prepare_batch(
+                    batch["latents"], ordering, config.vocab_size
+                )
+                conds = (
+                    [jnp.asarray(c) for c in batch["conditionings"]]
+                    if "conditionings" in batch
+                    else None
+                )
+                xi = shard_batch(mesh, inputs)
+                xt = shard_batch(mesh, targets)
+                state, metrics = step_fn(state, xi, xt, conds, {"lr": lr})
+                epoch_loss += float(metrics["Loss"])
+                n_it += 1
+                steps_since_redraw += 1
+                if (
+                    config.feature_redraw_interval
+                    and steps_since_redraw >= config.feature_redraw_interval
+                ):
+                    redraw_key, sub = jax.random.split(redraw_key)
+                    new_vars = redraw_projections({"favor": state.favor}, sub)
+                    state = state.replace(favor=new_vars["favor"])
+                    steps_since_redraw = 0
+
+            epoch_loss /= max(n_it, 1)
+            history.append({"Loss": epoch_loss})
+            if (epoch + 1) % config.log_every == 0 and config.rank == 0:
+                tb_train.scalars({"Loss-CE": epoch_loss, "lr": lr}, epoch + 1)
+                logger.info(
+                    f"epoch {epoch + 1}/{config.epochs} CE={epoch_loss:.4f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+
+            if (epoch + 1) % config.checkpoint_every == 0:
+                C.save_checkpoint(
+                    dirs["checkpoint_directory"], jax.device_get(state), epoch + 1
+                )
+
+            if val_loader and (epoch + 1) % config.eval_every == 0:
+                vlosses = []
+                for batch in val_loader.epoch(epoch):
+                    inputs, targets = prepare_batch(
+                        batch["latents"], ordering, config.vocab_size
+                    )
+                    conds = (
+                        [jnp.asarray(c) for c in batch["conditionings"]]
+                        if "conditionings" in batch
+                        else None
+                    )
+                    _, m = eval_fn(state, jnp.asarray(inputs), jnp.asarray(targets), conds)
+                    vlosses.append(float(m["Loss"]))
+                val_ce = float(np.mean(vlosses))
+                if config.rank == 0:
+                    tb_val.scalars({"Loss-CE": val_ce}, epoch + 1)
+                    logger.info(f"eval @ {epoch + 1}: CE={val_ce:.4f}")
+                if val_ce < best_metric:
+                    best_metric = val_ce
+                    C.save_best_checkpoint(
+                        dirs["checkpoint_directory"], jax.device_get(state), -val_ce
+                    )
+
+    host_state = jax.device_get(state)
+    C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+    tb_train.close()
+    tb_val.close()
+    return {"state": host_state, "history": history, "dirs": dirs, "ordering": ordering}
+
+
+def inference(config: TransformerConfig) -> Dict[str, Any]:
+    """Sampling mode: BOS-seeded batches → latent grids →
+    ``*_sample.npy`` uint16 (run_transformer.py:296-402)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.data.datasets import PrefetchLoader
+    from synthanatomy_tpu.models.sampling import make_sampler
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.transformer_steps import create_transformer_train_state
+    from synthanatomy_tpu.utils.general import basic_initialization
+
+    logger, dirs, ckpt_path, _, rng = basic_initialization(
+        config, "transformer-inference"
+    )
+    train_ds, _ = _make_datasets(config, logger)
+    if config.conditionings and train_ds.conditioning_num_tokens:
+        object.__setattr__(
+            config, "conditioning_num_tokens", train_ds.conditioning_num_tokens
+        )
+    loader = PrefetchLoader(
+        train_ds, config.eval_batch_size, shuffle=False, drop_last=False,
+        num_workers=config.num_workers, collate_keys=("latents",),
+    )
+    first = next(iter(loader.epoch(0)))
+    latent_shape = first["latents"].shape[1:4]
+    ordering = build_ordering(config, latent_shape)
+    model = build_performer(config, ordering, latent_shape)
+    seq_len = int(np.prod(latent_shape))
+
+    conds0 = (
+        [jnp.zeros((1,), jnp.int32) for _ in config.conditionings]
+        if config.conditioning_num_tokens
+        else None
+    )
+    state, _ = create_transformer_train_state(
+        model, rng, seq_len, conditionings=conds0
+    )
+    if ckpt_path:
+        state = C.load_checkpoint(ckpt_path, state)
+        logger.info(f"Loaded checkpoint {ckpt_path}")
+    variables = {"params": state.params, "favor": state.favor}
+
+    sampler = make_sampler(
+        model, ordering,
+        batch=config.eval_batch_size,
+        temperature=config.temperature,
+        top_k=config.top_k,
+        do_sample=config.sample,
+        with_conditionings=config.conditioning_num_tokens is not None,
+    )
+
+    written: List[str] = []
+    key = jax.random.key(config.seed)
+    for bi, batch in enumerate(loader.epoch(0)):
+        if batch["latents"].shape[0] != config.eval_batch_size:
+            break  # static batch for the compiled sampler
+        key, sub = jax.random.split(key)
+        if config.conditioning_num_tokens is not None:
+            conds = [jnp.asarray(c) for c in batch["conditionings"]]
+            grids = sampler(variables, sub, conds)
+        else:
+            grids = sampler(variables, sub)
+        grids = np.asarray(jax.device_get(grids)).astype(np.uint16)
+        for b, src in enumerate(batch["paths"]):
+            base = os.path.basename(src).replace(".npy", "")
+            out = f"{dirs['outputs_directory']}/{base}_sample.npy"
+            np.save(out, grids[b])
+            written.append(out)
+    logger.info(f"Wrote {len(written)} samples to {dirs['outputs_directory']}")
+    return {"written": written, "dirs": dirs}

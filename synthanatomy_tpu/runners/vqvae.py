@@ -1,0 +1,425 @@
+"""Stage-1 orchestration: training / extracting / decoding.
+
+Rebuild of the reference entry-point bodies (``training()``
+run_vqvae.py:59-392 and ``inference()`` run_vqvae.py:395-535): wires
+data loaders, networks, losses, handlers and the jitted steps into a
+plain-Python epoch loop (the Ignite/MONAI engine replacement), with the
+reference's checkpoint / eval / logging cadences and output contracts:
+
+- extracting → ``*_quantization_i.npy`` uint16 codebook indices + the
+  round-trip ``*_reconstruction.nii.gz`` (run_vqvae.py:468-498);
+- decoding → ``*_sample.nii.gz`` from loaded latent grids
+  (run_vqvae.py:500-514);
+- augmentation trace CSV in extracting mode (run_vqvae.py:446-452).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from synthanatomy_tpu.config import VQVAEConfig
+
+
+def build_vqvae(config: VQVAEConfig, dtype=None):
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    return BaselineVQVAE(
+        n_levels=config.no_levels,
+        downsample_parameters=config.downsample_parameters,
+        upsample_parameters=config.upsample_parameters,
+        n_embed=config.levels_num_embeddings,
+        embed_dim=config.levels_embedding_dim,
+        n_channels=config.no_channels,
+        n_res_channels=config.no_channels,
+        n_res_layers=config.no_res_layers,
+        dropout=config.dropout,
+        use_slim_residual=config.use_slim_residual,
+        use_subpixel_conv=config.use_subpixel_conv,
+        embedding_init=config.embedding_init[0],
+        dtype=dtype,
+        use_pallas_vq=config.use_pallas_vq if config.use_pallas_vq else None,
+    )
+
+
+def _make_loaders(config: VQVAEConfig, mode: str, shard_id: int, num_shards: int):
+    from synthanatomy_tpu.data.datasets import (
+        PrefetchLoader,
+        VolumeDataset,
+        discover_subjects,
+    )
+    from synthanatomy_tpu.data.transforms import VQVAETransform
+
+    def dataset(subjects_path, augment, patch):
+        subjects = discover_subjects(
+            subjects_path,
+            mode=mode,
+            no_augmented_extractions=config.no_augmented_extractions,
+        )
+        tf = VQVAETransform(
+            mode=mode,
+            normalize=config.normalize,
+            roi=config.roi,
+            patch_size=patch,
+            augment=augment,
+            augmentation_probability=config.augmentation_probability,
+            augmentation_strength=config.augmentation_strength,
+        )
+        return VolumeDataset(
+            subjects, tf, load_nii_canonical=config.load_nii_canonical,
+            seed=config.seed,
+        )
+
+    augment_train = mode == "training" or config.no_augmented_extractions > 0
+    train_ds = dataset(config.training_subjects, augment_train, config.patch_size)
+    loaders = {
+        "train": PrefetchLoader(
+            train_ds, config.batch_size, shuffle=mode == "training",
+            drop_last=mode == "training", num_workers=config.num_workers,
+            prefetch=config.prefetch_factor, shard_id=shard_id,
+            num_shards=num_shards, seed=config.seed,
+        )
+    }
+    if config.validation_subjects:
+        val_ds = dataset(config.validation_subjects, False, config.eval_patch_size)
+        loaders["val"] = PrefetchLoader(
+            val_ds, config.eval_batch_size, shuffle=False, drop_last=False,
+            num_workers=config.num_workers, prefetch=config.prefetch_factor,
+            shard_id=shard_id, num_shards=num_shards, seed=config.seed,
+        )
+        train_eval_ds = dataset(config.training_subjects, False, config.eval_patch_size)
+        loaders["train_eval"] = PrefetchLoader(
+            train_eval_ds, config.eval_batch_size, shuffle=False, drop_last=False,
+            num_workers=config.num_workers, prefetch=config.prefetch_factor,
+            shard_id=shard_id, num_shards=num_shards, seed=config.seed,
+        )
+    return loaders
+
+
+def _scheduled(config: VQVAEConfig, epoch: int, epoch_length: int) -> Dict[str, Any]:
+    from synthanatomy_tpu.train import schedulers as S
+
+    gamma = config.gamma
+    if gamma == "auto":
+        gamma = S.get_gamma(config.learning_rate, config.epochs, epoch_length)
+    lr = config.learning_rate * float(gamma) ** (epoch * epoch_length)
+
+    decay = float(config.decay[0])
+    if config.decay_warmup == "step":
+        mde = config.max_decay_epochs
+        if mde == "auto":
+            mde = S.get_max_decay_epochs(epoch_length, config.batch_size)
+        decay = S.decay_warmup_step(decay, int(mde), epoch)
+    elif config.decay_warmup == "linear":
+        mde = config.max_decay_epochs
+        if mde == "auto":
+            mde = S.get_max_decay_epochs(epoch_length, config.batch_size)
+        decay = S.decay_warmup_linear(decay, int(mde), epoch)
+
+    gdl = S.linear(
+        initial_value=config.initial_factor_value,
+        step_constant=config.initial_factor_steps,
+        step_max_value=config.max_factor_steps,
+        max_value=config.max_factor_value,
+        current_step=epoch,
+    )
+    return {
+        "lr": lr,
+        "d_lr": config.discriminator_learning_rate,
+        "decay": decay,
+        "commitment_cost": float(config.commitment_cost[0]),
+        "gdl_factor": gdl,
+        "epoch": epoch,
+    }
+
+
+def training(config: VQVAEConfig) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.losses import vqvae as vql
+    from synthanatomy_tpu.losses.lpips import init_lpips_params
+    from synthanatomy_tpu.metrics import get_ms_ssim_window, mae, ms_ssim_3d, mse
+    from synthanatomy_tpu.models.discriminator import BaselineDiscriminator
+    from synthanatomy_tpu.parallel.mesh import (
+        host_shard_info,
+        make_data_mesh_for_batch,
+        replicated,
+        shard_batch,
+    )
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.logging import TBLogger, write_transform_trace_csv
+    from synthanatomy_tpu.train.vqvae_steps import (
+        create_vqvae_train_state,
+        make_vqvae_eval_step,
+        make_vqvae_train_step,
+    )
+    from synthanatomy_tpu.utils.general import basic_initialization, log_network_size
+
+    logger, dirs, ckpt_path, starting_epoch, rng = basic_initialization(
+        config, "vqvae-training"
+    )
+    shard_id, num_shards = host_shard_info()
+    loaders = _make_loaders(config, "training", shard_id, num_shards)
+    epoch_length = config.training_epoch_length or len(loaders["train"])
+
+    # peek one batch for the input shape (reference peeks the loader)
+    first_batch = next(iter(loaders["train"].epoch(0)))
+    input_shape = first_batch["MRI"].shape[1:4]
+    logger.info(f"Input shape: {input_shape}")
+
+    model = build_vqvae(config)
+    d_model = (
+        BaselineDiscriminator(dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32)
+        if config.adversarial_component
+        else None
+    )
+
+    state, g_tx, d_tx = create_vqvae_train_state(
+        model, rng, input_shape,
+        learning_rate=config.learning_rate,
+        d_model=d_model,
+        d_learning_rate=config.discriminator_learning_rate,
+    )
+    log_network_size(state.g_params, logger, config.network)
+
+    if ckpt_path:
+        state = C.load_checkpoint(ckpt_path, state)
+        logger.info(f"Restored checkpoint from {ckpt_path}")
+
+    lpips_params = None
+    if vql.loss_needs_lpips(config.loss):
+        lpips_params = init_lpips_params(
+            jax.random.key(0), vql.lpips_net_for_loss(config.loss)
+        )
+
+    mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
+
+    def build_step(train_generator: bool):
+        return jax.jit(
+            make_vqvae_train_step(
+                model, g_tx,
+                loss_name=config.loss,
+                d_model=d_model,
+                d_tx=d_tx,
+                generator_criterion=config.generator_loss,
+                discriminator_criterion=config.discriminator_loss,
+                use_adaptive_weight=config.use_adversarial_adaptive_weight,
+                adaptive_threshold=config.adaptive_adversarial_weight_threshold,
+                adaptive_value=config.adaptive_adversarial_weight_value,
+                train_generator=train_generator,
+            )
+        )
+
+    finetune_gate = config.finetune_adversarial_component is not None
+    g_frozen = finetune_gate
+    gate_counter = 0
+    step_fn = build_step(not g_frozen)
+    eval_step = jax.jit(make_vqvae_eval_step(model, loss_name=config.loss))
+
+    tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
+    tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)
+
+    try:
+        ms_ssim_win = get_ms_ssim_window(
+            eval_patch_size=config.eval_patch_size, roi=config.roi,
+            input_shape=input_shape,
+        )
+    except ValueError:
+        # inputs too small for a multi-scale pyramid — skip MS-SSIM
+        ms_ssim_win = None
+        logger.warning("input too small for MS-SSIM; metric disabled")
+
+    state = jax.device_put(state, replicated(mesh))
+    history: List[Dict[str, float]] = []
+    best_metric = -np.inf
+    global_step = int(state.step)
+
+    with jax.set_mesh(mesh):
+        for epoch in range(max(starting_epoch, 0), config.epochs):
+            sched = _scheduled(config, epoch, epoch_length)
+            t_epoch = time.time()
+            epoch_metrics: Dict[str, float] = {}
+            n_it = 0
+            for it, batch in enumerate(loaders["train"].epoch(epoch)):
+                if it >= epoch_length:
+                    break
+                x = shard_batch(mesh, batch["MRI"])
+                state, metrics = step_fn(state, x, sched, lpips_params)
+                global_step += 1
+                n_it += 1
+                for k, v in metrics.items():
+                    try:
+                        epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+                    except (TypeError, ValueError):
+                        pass
+                # finetune gate (AdversarialFinetuneHandler semantics)
+                if g_frozen and "Loss-Discriminator-Total" in metrics:
+                    lo, hi = config.finetune_adversarial_component
+                    if lo <= float(metrics["Loss-Discriminator-Total"]) <= hi:
+                        gate_counter += 1
+                    else:
+                        gate_counter = 0
+                    if gate_counter >= config.finetune_patience:
+                        g_frozen = False
+                        step_fn = build_step(True)
+                        logger.info("Finetune gate released: generator training on")
+
+            epoch_metrics = {k: v / max(n_it, 1) for k, v in epoch_metrics.items()}
+            if (epoch + 1) % config.log_every == 0 and config.rank == 0:
+                tb_train.scalars(epoch_metrics, epoch + 1)
+                tb_train.scalars({"lr": sched["lr"], "decay": sched["decay"]}, epoch + 1, "Sched/")
+                logger.info(
+                    f"epoch {epoch + 1}/{config.epochs} "
+                    f"loss={epoch_metrics.get('Loss-Reconstruction-Total', float('nan')):.4f} "
+                    f"({time.time() - t_epoch:.1f}s)"
+                )
+            history.append(epoch_metrics)
+
+            if (epoch + 1) % config.checkpoint_every == 0:
+                host_state = jax.device_get(state)
+                C.save_checkpoint(dirs["checkpoint_directory"], host_state, epoch + 1)
+
+            if "val" in loaders and (epoch + 1) % config.eval_every == 0:
+                vals = {"MAE": [], "MSE": [], "MS-SSIM": []}
+                last = None
+                for batch in loaders["val"].epoch(epoch):
+                    x = shard_batch(mesh, batch["MRI"])
+                    recon, _ = eval_step(state, x, sched, lpips_params)
+                    recon = np.asarray(jax.device_get(recon), np.float32)
+                    xb = batch["MRI"]
+                    vals["MAE"].append(float(mae(recon, xb)))
+                    vals["MSE"].append(float(mse(recon, xb)))
+                    if ms_ssim_win is not None:
+                        vals["MS-SSIM"].append(
+                            float(ms_ssim_3d(recon, xb, win_size=ms_ssim_win))
+                        )
+                    last = (xb[0], recon[0])
+                val_metrics = {k: float(np.mean(v)) for k, v in vals.items() if v}
+                if config.rank == 0:
+                    tb_val.scalars(val_metrics, epoch + 1)
+                    if last is not None and config.save_2d_images:
+                        tb_val.volume_images("originals", last[0], epoch + 1, config.save_2d_images)
+                        tb_val.volume_images("reconstructions", last[1], epoch + 1, config.save_2d_images)
+                    if last is not None and config.save_3d_images:
+                        tb_val.volume_gif("originals_3d", last[0], epoch + 1)
+                        tb_val.volume_gif("reconstructions_3d", last[1], epoch + 1)
+                    logger.info(f"eval @ {epoch + 1}: {val_metrics}")
+                key = val_metrics.get("MS-SSIM", -val_metrics.get("MSE", np.inf))
+                if key > best_metric:
+                    best_metric = key
+                    C.save_best_checkpoint(
+                        dirs["checkpoint_directory"], jax.device_get(state), key
+                    )
+
+    host_state = jax.device_get(state)
+    C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+    tb_train.close()
+    tb_val.close()
+    return {"state": host_state, "history": history, "dirs": dirs}
+
+
+def inference(config: VQVAEConfig) -> Dict[str, Any]:
+    """extracting / decoding modes (run_vqvae.py:395-535)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.data.datasets import (
+        LatentDataset,
+        PrefetchLoader,
+        discover_decoding_subjects,
+    )
+    from synthanatomy_tpu.data.nifti import save_nifti
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.logging import save_npy_outputs, write_transform_trace_csv
+    from synthanatomy_tpu.train.vqvae_steps import create_vqvae_train_state
+    from synthanatomy_tpu.utils.general import basic_initialization
+
+    logger, dirs, ckpt_path, _, rng = basic_initialization(config, f"vqvae-{config.mode}")
+
+    model = build_vqvae(config)
+
+    written: List[str] = []
+
+    if config.mode == "extracting":
+        loaders = _make_loaders(config, "extracting", 0, 1)
+        first = next(iter(loaders["train"].epoch(0)))
+        input_shape = first["MRI"].shape[1:4]
+        state, _, _ = create_vqvae_train_state(model, rng, input_shape)
+        if ckpt_path:
+            state = C.load_checkpoint(ckpt_path, state)
+            logger.info(f"Loaded checkpoint {ckpt_path}")
+
+        variables = {"params": state.g_params, "vq": state.vq}
+
+        @jax.jit
+        def extract(variables, x):
+            idx = model.apply(variables, x, method=model.index_quantize)
+            recon = model.apply(variables, idx, method=model.decode_samples)
+            return idx[0], recon
+
+        all_traces, all_paths = [], []
+        for batch in loaders["train"].epoch(0):
+            idx, recon = extract(variables, jnp.asarray(batch["MRI"]))
+            idx = np.asarray(jax.device_get(idx))
+            recon = np.asarray(jax.device_get(recon), np.float32)
+            written += save_npy_outputs(
+                dirs["outputs_directory"], idx, batch["paths"],
+                postfix="quantization_0", dtype=np.uint16,
+                augmentation_ids=batch["augmentation_ids"],
+            )
+            for b, src in enumerate(batch["paths"]):
+                base = src.split("/")[-1].replace(".nii.gz", "").replace(".nii", "")
+                out_nii = f"{dirs['outputs_directory']}/{base}_reconstruction.nii.gz"
+                save_nifti(out_nii, recon[b, ..., 0], batch["affines"][b])
+                written.append(out_nii)
+            all_traces += batch["traces"]
+            all_paths += batch["paths"]
+        trace_csv = write_transform_trace_csv(
+            dirs["logs_directory"], all_traces, all_paths, rank=config.rank
+        )
+        if trace_csv:
+            written.append(trace_csv)
+
+    elif config.mode == "decoding":
+        subjects = discover_decoding_subjects(config.training_subjects)
+        ds = LatentDataset(subjects)
+        loader = PrefetchLoader(
+            ds, config.batch_size, shuffle=False, drop_last=False,
+            num_workers=config.num_workers, collate_keys=("latents",),
+        )
+        first = next(iter(loader.epoch(0)))
+        latent_shape = first["latents"].shape[1:4]
+        # input shape back-computed from total stride
+        stride = int(np.prod([p[1] for p in config.downsample_parameters]))
+        input_shape = tuple(int(s) * stride for s in latent_shape)
+        state, _, _ = create_vqvae_train_state(model, rng, input_shape)
+        if ckpt_path:
+            state = C.load_checkpoint(ckpt_path, state)
+        variables = {"params": state.g_params, "vq": state.vq}
+
+        @jax.jit
+        def decode(variables, idx):
+            return model.apply(variables, [idx], method=model.decode_samples)
+
+        for batch in loader.epoch(0):
+            recon = np.asarray(
+                jax.device_get(decode(variables, jnp.asarray(batch["latents"], jnp.int32))),
+                np.float32,
+            )
+            for b, src in enumerate(batch["paths"]):
+                base = src.split("/")[-1].replace(".npy", "")
+                out_nii = f"{dirs['outputs_directory']}/{base}_sample.nii.gz"
+                save_nifti(out_nii, recon[b, ..., 0])
+                written.append(out_nii)
+    else:
+        raise ValueError(f"inference() got mode {config.mode!r}")
+
+    logger.info(f"Wrote {len(written)} outputs to {dirs['outputs_directory']}")
+    return {"written": written, "dirs": dirs}

@@ -187,6 +187,69 @@ def save_best_checkpoint(
 
 def load_checkpoint(path: str, target: Any) -> Any:
     """Restore a train-state pytree saved by :func:`save_checkpoint`
-    (``target`` provides structure/shapes/dtypes)."""
+    (``target`` provides structure/shapes/dtypes).
+
+    Falls back to a partial restore when the on-disk tree is a superset
+    of the target — e.g. loading a training checkpoint (with
+    discriminator/optimizer state) into an inference-shaped state, the
+    reference's ``to_load`` exclusion behaviour (run_vqvae.py:330-336).
+    """
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target)
+    try:
+        return ckptr.restore(os.path.abspath(path), target)
+    except ValueError:
+        raw = ckptr.restore(os.path.abspath(path))
+        return _partial_merge(target, raw)
+
+
+def _partial_merge(target: Any, raw: Any) -> Any:
+    """Graft every value present in the raw (untyped) checkpoint tree
+    onto the matching node of ``target``; missing nodes keep the
+    target's (freshly initialized) value."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if raw is None:
+        return target
+    if isinstance(target, dict):
+        if not isinstance(raw, dict):
+            return target
+        return {k: _partial_merge(v, raw.get(k)) for k, v in target.items()}
+    if hasattr(target, "_fields"):  # NamedTuple
+        vals = [
+            _partial_merge(
+                getattr(target, f), raw.get(f) if isinstance(raw, dict) else None
+            )
+            for f in target._fields
+        ]
+        return type(target)(*vals)
+    if dataclasses.is_dataclass(target) and not isinstance(target, type):
+        kw = {}
+        for f in dataclasses.fields(target):
+            r = raw.get(f.name) if isinstance(raw, dict) else None
+            kw[f.name] = _partial_merge(getattr(target, f.name), r)
+        return type(target)(**kw)
+    if isinstance(target, (list, tuple)):
+        out = []
+        for i, v in enumerate(target):
+            if isinstance(raw, (list, tuple)) and i < len(raw):
+                r = raw[i]
+            elif isinstance(raw, dict):
+                r = raw.get(str(i), raw.get(i))
+            else:
+                r = None
+            out.append(_partial_merge(v, r))
+        return type(target)(out) if isinstance(target, list) else tuple(out)
+    # leaf
+    if isinstance(raw, (dict, list, tuple)):
+        return target
+    try:
+        arr = jnp.asarray(raw)
+        if hasattr(target, "dtype") and arr.dtype != target.dtype:
+            arr = arr.astype(target.dtype)
+        if hasattr(target, "shape") and arr.shape != target.shape:
+            return target
+        return arr
+    except (TypeError, ValueError):
+        return target
