@@ -28,6 +28,9 @@ __all__ = [
     "rand_spatial_crop",
     "clamp01",
     "VQVAETransform",
+    "convert_to_sequence",
+    "add_bos",
+    "quantise_image",
 ]
 
 # src/utils/vqvae.py:46-52
@@ -128,6 +131,41 @@ def _rand_affine(
     return ndimage.affine_transform(
         x, M, offset=offset, output_shape=out_shape, order=1, mode="constant", cval=0.0,
     ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# stage-2 preprocessing transforms — the offline alternative to
+# prepare_batch (reference src/transforms/: ConvertToSequenced, AddBOSd,
+# QuantiseImaged dict transforms and their array versions)
+# ---------------------------------------------------------------------------
+
+
+def convert_to_sequence(grid: np.ndarray, ordering) -> np.ndarray:
+    """Latent index grid (*dims) → 1D token sequence in ordering order
+    (reference ConvertToSequence)."""
+    flat = np.asarray(grid).reshape(-1)
+    return flat[ordering.get_sequence_ordering()]
+
+
+def add_bos(seq: np.ndarray, bos_token: int) -> np.ndarray:
+    """Prepend the BOS token (reference AddBOS)."""
+    seq = np.asarray(seq)
+    return np.concatenate([np.full((1,), bos_token, seq.dtype), seq])
+
+
+def quantise_image(
+    volume: np.ndarray, model, variables
+) -> np.ndarray:
+    """Run the VQ-VAE's ``index_quantize`` inside the transform chain
+    (reference QuantiseImage): (D, H, W[, 1]) volume → int32 latent
+    index grid."""
+    import jax.numpy as jnp
+
+    v = np.asarray(volume, np.float32)
+    if v.ndim == 3:
+        v = v[..., None]
+    idx = model.apply(variables, jnp.asarray(v[None]), method=model.index_quantize)
+    return np.asarray(idx[0][0])
 
 
 class VQVAETransform:

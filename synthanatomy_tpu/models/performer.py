@@ -114,6 +114,7 @@ class PerformerAttention(nn.Module):
     out_bias: bool = False
     dropout: float = 0.0
     scan_chunk: int = 128
+    no_projection: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -127,7 +128,7 @@ class PerformerAttention(nn.Module):
         self.to_v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")
         self.to_out = nn.Dense(self.dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out")
         self.drop = nn.Dropout(self.dropout)
-        if self.heads - self.local_heads > 0:
+        if self.heads - self.local_heads > 0 and not self.no_projection:
             self.projection = self.variable(
                 "favor",
                 "projection",
@@ -139,6 +140,9 @@ class PerformerAttention(nn.Module):
                     self.dim_head,
                 ),
             )
+
+    def _proj(self):
+        return None if self.no_projection else self.projection.value
 
     def _split_heads(self, x):
         b, n, _ = x.shape
@@ -169,7 +173,7 @@ class PerformerAttention(nn.Module):
                     q[:, :gh],
                     k[:, :gh],
                     v[:, :gh],
-                    self.projection.value,
+                    self._proj(),
                     causal=self.causal,
                     generalized=self.generalized,
                     chunk=self.scan_chunk,
@@ -194,10 +198,12 @@ class PerformerAttention(nn.Module):
 
     def init_cache(self, batch: int) -> Dict[str, jax.Array]:
         gh = self.heads - self.local_heads
+        # no_projection features live in the raw head dim
+        m = self.dim_head if self.no_projection else self._nb_features
         cache: Dict[str, jax.Array] = {}
         if gh > 0:
-            cache["S"] = jnp.zeros((batch, gh, self._nb_features, self.dim_head), jnp.float32)
-            cache["z"] = jnp.zeros((batch, gh, self._nb_features), jnp.float32)
+            cache["S"] = jnp.zeros((batch, gh, m, self.dim_head), jnp.float32)
+            cache["z"] = jnp.zeros((batch, gh, m), jnp.float32)
         if self.local_heads > 0:
             cache["ck"] = jnp.zeros(
                 (batch, self.local_heads, self.local_window, self.dim_head), jnp.float32
@@ -236,7 +242,7 @@ class PerformerAttention(nn.Module):
             o, (S, z) = favor_attention_step(
                 q[:, :gh], k[:, :gh], v[:, :gh],
                 (cache["S"], cache["z"]),
-                self.projection.value,
+                self._proj(),
                 generalized=self.generalized,
             )
             new_cache["S"], new_cache["z"] = S, z
@@ -272,6 +278,7 @@ class PerformerBlock(nn.Module):
     qkv_bias: bool
     attn_out_bias: bool
     scan_chunk: int
+    no_projection: bool
     dtype: Any
 
     def setup(self):
@@ -279,7 +286,8 @@ class PerformerBlock(nn.Module):
             self.dim, self.heads, self.dim_head, self.local_heads,
             self.local_window, self.nb_features, self.causal,
             self.generalized, self.qkv_bias, self.attn_out_bias,
-            self.attn_dropout, self.scan_chunk, self.dtype, name="attn",
+            self.attn_dropout, self.scan_chunk, self.no_projection,
+            self.dtype, name="attn",
         )
         self.ff = FeedForward(
             self.dim, self.ff_mult, self.ff_glu, self.ff_dropout, self.dtype,
@@ -360,6 +368,8 @@ class Performer(nn.Module):
     axial_position_shape: Optional[Tuple[int, int]] = None
     qkv_bias: bool = False
     attn_out_bias: bool = False
+    no_projection: bool = False
+    cross_attend: bool = False
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -394,6 +404,12 @@ class Performer(nn.Module):
                     "spatial_position_emb requires spatial_shape and ordering"
                 )
 
+        if self.cross_attend:
+            raise NotImplementedError(
+                "cross_attend is accepted for API parity with the consumed "
+                "performer implementation but no reference code path feeds "
+                "a cross-attention context; file an issue if needed"
+            )
         L = self.effective_seq_len
         self.token_emb = nn.Embed(
             self.num_tokens, self.dim, dtype=self.dtype, name="token_emb"
@@ -471,7 +487,8 @@ class Performer(nn.Module):
                 self.generalized_attention, self.ff_mult, self.ff_glu,
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
-                self.scan_chunk, self.dtype, name=f"block_{i}",
+                self.scan_chunk, self.no_projection, self.dtype,
+                name=f"block_{i}",
             )
             for i in range(self.depth)
         ]

@@ -142,9 +142,12 @@ def _noncausal_linear_attention(q_p, k_p, v):
     return jnp.einsum("...de,...nd,...n->...ne", context, q_p, d_inv)
 
 
-def _causal_linear_attention_chunked(q_p, k_p, v, chunk: int):
+def _causal_linear_attention_chunked(
+    q_p, k_p, v, chunk: int, init_state=None, return_state: bool = False
+):
     """q_p/k_p: (B, H, L, m); v: (B, H, L, d).  Scan over L/chunk chunks
-    carrying (S: (B,H,m,d), z: (B,H,m))."""
+    carrying (S: (B,H,m,d), z: (B,H,m)); ``init_state`` seeds the carry
+    (sequence-parallel shards pass the prefix from earlier shards)."""
     b, h, n, m = q_p.shape
     d = v.shape[-1]
     pad = (-n) % chunk
@@ -176,11 +179,17 @@ def _causal_linear_attention_chunked(q_p, k_p, v, chunk: int):
         z = z + jnp.sum(ki, axis=-2)
         return (S, z), out_i
 
-    S0 = jnp.zeros((b, h, m, d), jnp.float32)
-    z0 = jnp.zeros((b, h, m), jnp.float32)
-    _, out = jax.lax.scan(step, (S0, z0), (qc, kc, vc))
+    if init_state is None:
+        S0 = jnp.zeros((b, h, m, d), jnp.float32)
+        z0 = jnp.zeros((b, h, m), jnp.float32)
+    else:
+        S0, z0 = init_state
+    final_state, out = jax.lax.scan(step, (S0, z0), (qc, kc, vc))
     out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, d)
-    return out[:, :, :n]
+    out = out[:, :, :n]
+    if return_state:
+        return out, final_state
+    return out
 
 
 def favor_attention(
@@ -205,9 +214,18 @@ def favor_attention(
     original performer-pytorch global-max key stabilizer.
     """
     in_dtype = v.dtype
-    if generalized or projection is None:
+    if generalized:
         q_p = generalized_kernel_features(q, projection, kernel_fn=kernel_fn)
         k_p = generalized_kernel_features(k, projection, kernel_fn=kernel_fn)
+    elif projection is None:
+        # the no_projection mode of the consumed implementation:
+        # q softmaxed over features, k exponentiated (causal) /
+        # softmaxed over the sequence (non-causal)
+        q_p = jax.nn.softmax(jnp.asarray(q, jnp.float32), axis=-1)
+        if causal:
+            k_p = jnp.exp(jnp.asarray(k, jnp.float32))
+        else:
+            k_p = jax.nn.softmax(jnp.asarray(k, jnp.float32), axis=-2)
     else:
         q_p = softmax_kernel_features(q, projection, is_query=True)
         k_stab = None if stabilize_keys else jnp.zeros((), jnp.float32)
@@ -219,6 +237,58 @@ def favor_attention(
         out = _causal_linear_attention_chunked(q_p, k_p, v32, chunk)
     else:
         out = _noncausal_linear_attention(q_p, k_p, v32)
+    return out.astype(in_dtype)
+
+
+def favor_attention_sequence_parallel(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    projection: Optional[jax.Array],
+    *,
+    axis_name: str,
+    generalized: bool = False,
+    kernel_fn: Callable[[jax.Array], jax.Array] = jax.nn.relu,
+    chunk: int = 128,
+) -> jax.Array:
+    """Sequence-parallel causal FAVOR+ — call under ``shard_map`` with
+    q/k/v sharded along L over mesh axis ``axis_name``.
+
+    The running (K·Vᵀ, ΣK) prefix state is O(m·d) per head and
+    *associative*, so context parallelism needs no ring attention
+    (SURVEY.md §5.7): each shard reduces its own totals (two einsums),
+    one ``all_gather`` of the O(m·d) states rides ICI, an exclusive
+    prefix sum seeds the local chunked scan, and the shard finishes
+    independently.  Exact — matches single-device
+    :func:`favor_attention` to fp tolerance.
+    """
+    in_dtype = v.dtype
+    if generalized or projection is None:
+        q_p = generalized_kernel_features(q, projection, kernel_fn=kernel_fn)
+        k_p = generalized_kernel_features(k, projection, kernel_fn=kernel_fn)
+    else:
+        q_p = softmax_kernel_features(q, projection, is_query=True)
+        k_p = softmax_kernel_features(
+            k, projection, is_query=False, stabilizer=jnp.zeros((), jnp.float32)
+        )
+    v32 = jnp.asarray(v, jnp.float32)
+
+    # local totals (no scan needed)
+    S_tot = jnp.einsum("bhjm,bhjd->bhmd", k_p, v32)
+    z_tot = jnp.sum(k_p, axis=-2)
+
+    # exclusive prefix over shards
+    all_S = jax.lax.all_gather(S_tot, axis_name)  # (P, b, h, m, d)
+    all_z = jax.lax.all_gather(z_tot, axis_name)
+    p = all_S.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    mask = (jnp.arange(p) < idx).astype(jnp.float32)
+    prefix_S = jnp.einsum("p,p...->...", mask, all_S)
+    prefix_z = jnp.einsum("p,p...->...", mask, all_z)
+
+    out = _causal_linear_attention_chunked(
+        q_p, k_p, v32, chunk, init_state=(prefix_S, prefix_z)
+    )
     return out.astype(in_dtype)
 
 
@@ -242,9 +312,13 @@ def favor_attention_step(
     re-run-the-full-forward loop (transformer.py:84-93).
     """
     S, z = state
-    if generalized or projection is None:
+    if generalized:
         q_p = generalized_kernel_features(q_t[..., None, :], projection, kernel_fn=kernel_fn)[..., 0, :]
         k_p = generalized_kernel_features(k_t[..., None, :], projection, kernel_fn=kernel_fn)[..., 0, :]
+    elif projection is None:
+        # no_projection mode (see favor_attention)
+        q_p = jax.nn.softmax(jnp.asarray(q_t, jnp.float32), axis=-1)
+        k_p = jnp.exp(jnp.asarray(k_t, jnp.float32))
     else:
         # query stab cancels per-position; key stab MUST be position-
         # uniform, so use 0 in step mode (see softmax_kernel_features)

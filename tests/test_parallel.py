@@ -122,3 +122,36 @@ def test_shard_batch_places_on_data_axis():
     batch = {"MRI": np.zeros((8, 4, 4, 4, 1), np.float32)}
     out = shard_batch(mesh, batch)
     assert out["MRI"].sharding.spec == P("data", None, None, None, None)
+
+
+def test_favor_sequence_parallel_matches_single_device():
+    """Sequence-sharded FAVOR+ (context parallelism over the prefix
+    state) must equal single-device causal attention."""
+    from jax.sharding import NamedSharding
+    from jax.experimental.shard_map import shard_map
+
+    from synthanatomy_tpu.ops.favor import (
+        favor_attention,
+        favor_attention_sequence_parallel,
+        gaussian_orthogonal_random_matrix,
+    )
+
+    b, h, n, d, m = 2, 2, 64, 8, 16
+    q, k, v = jax.random.normal(jax.random.key(0), (3, b, h, n, d))
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(1), m, d)
+
+    ref = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
+
+    mesh = make_mesh((4,), ("seq",), devices=jax.devices()[:4])
+    spec = P(None, None, "seq", None)
+
+    sp_fn = shard_map(
+        lambda q, k, v, proj: favor_attention_sequence_parallel(
+            q, k, v, proj, axis_name="seq", chunk=8
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(None, None)),
+        out_specs=spec,
+    )
+    out = np.asarray(jax.jit(sp_fn)(q, k, v, proj))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -214,3 +214,46 @@ def test_seq_len_guard():
     x = jnp.zeros((1, 9), jnp.int32)
     with pytest.raises(ValueError):
         model.init(jax.random.key(0), x)
+
+
+def test_no_projection_mode():
+    model = _tiny_model(no_projection=True, local_attn_heads=0)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, 16, (1, 10)), jnp.int32)
+    variables = model.init(jax.random.key(0), x)
+    assert "favor" not in variables or not variables["favor"]
+    batch_logits = np.asarray(model.apply(variables, x))
+    assert np.isfinite(batch_logits).all()
+    cache = model.apply(variables, 1, method=model.init_cache)
+    inc = []
+    for t in range(10):
+        logits, cache = model.apply(
+            variables, x[:, t], cache, jnp.asarray(t, jnp.int32), None,
+            method=model.decode_step,
+        )
+        inc.append(np.asarray(logits))
+    inc = np.stack(inc, axis=1)
+    np.testing.assert_allclose(inc, batch_logits, rtol=8e-2, atol=8e-2)
+
+
+def test_cross_attend_raises():
+    model = _tiny_model(cross_attend=True)
+    with pytest.raises(NotImplementedError):
+        model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+
+
+def test_vq_layer_api():
+    from synthanatomy_tpu.models.vq_layer import VectorQuantizerEMA
+
+    layer = VectorQuantizerEMA(num_embeddings=16, embedding_dim=4,
+                               embedding_init="kaiming_uniform", use_pallas=False)
+    x = jax.random.normal(jax.random.key(0), (2, 5, 5, 4))  # 2D spatial
+    variables = layer.init(jax.random.key(1), x)
+    (q, loss), muts = layer.apply(variables, x, training=True, mutable=["vq"])
+    assert q.shape == x.shape and np.isfinite(float(loss))
+    flat_q, one_hot, idx = layer.apply(variables, x, method=layer.quantize)
+    assert flat_q.shape == (50, 4)
+    assert one_hot.shape == (50, 16)
+    assert idx.shape == (2, 5, 5)
+    emb = layer.apply(variables, idx, method=layer.embed)
+    np.testing.assert_allclose(np.asarray(emb).reshape(-1, 4), np.asarray(flat_q))
