@@ -107,6 +107,7 @@ def run(
     mesh_shape: Optional[Tuple[int, ...]] = None,
     compute_dtype: str = "bfloat16",
     use_pallas_vq: bool = True,
+    use_remat: bool = True,
 ):
     """Build the typed config and dispatch on ``mode``.  See
     VQVAEConfig for flag documentation (mirrors the reference's

@@ -143,6 +143,7 @@ class VQVAEConfig:
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     compute_dtype: str = "bfloat16"
     use_pallas_vq: bool = True
+    use_remat: bool = True
     donate_state: bool = True
     # mutated-en-route fields (the reference mutates its config dict;
     # we keep them explicit)

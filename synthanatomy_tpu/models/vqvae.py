@@ -195,8 +195,18 @@ class BaselineVQVAE(nn.Module):
     embedding_init: str = "normal"
     dtype: Any = jnp.bfloat16
     use_pallas_vq: Optional[bool] = None
+    # rematerialize residual stacks in the backward pass — the
+    # TPU-idiomatic memory/FLOP trade that lets full 160×224×160
+    # volumes train in 16 GB HBM (SURVEY.md §2.9 AMP row: no GradScaler
+    # tricks, just jax.checkpoint)
+    use_remat: bool = False
 
     def setup(self):
+        res_layer = (
+            nn.remat(ResidualLayer, static_argnums=())
+            if self.use_remat
+            else ResidualLayer
+        )
         # ---- encoder (reference construct_encoder, baseline.py:213-246)
         enc_convs, enc_res = [], []
         for i in range(self.n_levels):
@@ -211,7 +221,7 @@ class BaselineVQVAE(nn.Module):
             res_ch = self.n_res_channels // (1 if i == self.n_levels - 1 else 2)
             enc_res.append(
                 [
-                    ResidualLayer(
+                    res_layer(
                         ch, res_ch, self.dropout, slim=self.use_slim_residual,
                         dtype=self.dtype, name=f"encoder_res_{i}_{j}",
                     )
@@ -236,7 +246,7 @@ class BaselineVQVAE(nn.Module):
             res_ch = self.n_res_channels // (1 if i == 0 else 2)
             dec_res.append(
                 [
-                    ResidualLayer(
+                    res_layer(
                         ch, res_ch, self.dropout, slim=self.use_slim_residual,
                         dtype=self.dtype, name=f"decoder_res_{i}_{j}",
                     )

@@ -177,6 +177,15 @@ def _nearest_codeword_xla(x_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     return jnp.argmin(dist, axis=1).astype(jnp.int32)
 
 
+def _running_on_tpu() -> bool:
+    # honour a `jax.default_device(cpu)` scope (e.g. cheap host-side
+    # model init), under which default_backend() still reports tpu
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def nearest_codeword(
     x_flat: jax.Array,
     codebook: jax.Array,
@@ -185,7 +194,7 @@ def nearest_codeword(
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, plain-XLA fallback elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _running_on_tpu()
     if use_pallas:
         return nearest_codeword_pallas(x_flat, codebook)
     return _nearest_codeword_xla(x_flat, codebook)

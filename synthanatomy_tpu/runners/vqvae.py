@@ -45,6 +45,7 @@ def build_vqvae(config: VQVAEConfig, dtype=None):
         embedding_init=config.embedding_init[0],
         dtype=dtype,
         use_pallas_vq=config.use_pallas_vq if config.use_pallas_vq else None,
+        use_remat=config.use_remat,
     )
 
 
@@ -161,10 +162,12 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
         make_vqvae_train_step,
     )
     from synthanatomy_tpu.utils.general import basic_initialization, log_network_size
+    from synthanatomy_tpu.utils.profiling import StepProfiler, device_memory_summary
 
     logger, dirs, ckpt_path, starting_epoch, rng = basic_initialization(
         config, "vqvae-training"
     )
+    profiler = StepProfiler()
     shard_id, num_shards = host_shard_info()
     loaders = _make_loaders(config, "training", shard_id, num_shards)
     epoch_length = config.training_epoch_length or len(loaders["train"])
@@ -251,7 +254,8 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 if it >= epoch_length:
                     break
                 x = shard_batch(mesh, batch["MRI"])
-                state, metrics = step_fn(state, x, sched, lpips_params)
+                with profiler.step(global_step):
+                    state, metrics = step_fn(state, x, sched, lpips_params)
                 global_step += 1
                 n_it += 1
                 for k, v in metrics.items():
@@ -273,6 +277,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
             epoch_metrics = {k: v / max(n_it, 1) for k, v in epoch_metrics.items()}
             if (epoch + 1) % config.log_every == 0 and config.rank == 0:
+                epoch_metrics.update(device_memory_summary())
                 tb_train.scalars(epoch_metrics, epoch + 1)
                 tb_train.scalars({"lr": sched["lr"], "decay": sched["decay"]}, epoch + 1, "Sched/")
                 logger.info(
@@ -318,6 +323,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                         dirs["checkpoint_directory"], jax.device_get(state), key
                     )
 
+    profiler.close()
     host_state = jax.device_get(state)
     C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
     tb_train.close()

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Stage-1 benchmark harness (BASELINE.md configs 1-2).
+
+Measures on the attached TPU chip:
+- config 1: paper-geometry (160×224×160) encode→indices + decode
+  round-trip (the extracting/decoding path), volumes/min/chip;
+- config 2: full 4-level/256ch train step, EMA codebook 2048×32,
+  selectable loss, max batch that fits.
+
+Usage: python tools/bench_vqvae.py [--batch=N --loss=mse --levels=4]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.cli import parse_argv
+    from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+    from synthanatomy_tpu.train.vqvae_steps import (
+        create_vqvae_train_state,
+        make_vqvae_train_step,
+    )
+
+    _, kw = parse_argv(sys.argv[1:])
+    batch = int(kw.get("batch", 1))
+    loss = kw.get("loss", "mse")
+    levels = int(kw.get("levels", 4))
+    shape = tuple(kw.get("shape", (160, 224, 160)))
+    train = bool(kw.get("train", True))
+    recon = bool(kw.get("recon", True))
+
+    model = BaselineVQVAE(
+        n_levels=levels,
+        downsample_parameters=((4, 2, 1, 1),) * levels,
+        upsample_parameters=((4, 2, 1, 0, 1),) * levels,
+        n_embed=2048, embed_dim=32, n_channels=256, n_res_channels=256,
+        n_res_layers=3, dtype=jnp.bfloat16,
+        use_remat=bool(kw.get("remat", True)),
+    )
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    dev = jax.devices()[0]
+
+    # conv/VQ params are spatial-size independent: init on a small
+    # volume on host CPU (full-size init on one CPU core takes minutes)
+    init_shape = tuple(min(s, 32) for s in shape)
+
+    if recon:
+        # ---- config 1: extract+decode round trip -----------------------
+        with jax.default_device(cpu):
+            x1 = jnp.zeros((1,) + init_shape + (1,), jnp.float32)
+            variables = model.init(jax.random.key(0), x1)
+        variables = jax.device_put(variables, dev)
+
+        @jax.jit
+        def roundtrip(variables, x):
+            idx = model.apply(variables, x, method=model.index_quantize)
+            return idx[0], model.apply(variables, idx, method=model.decode_samples)
+
+        x = jax.device_put(
+            np.random.default_rng(0).uniform(size=(1,) + shape + (1,)).astype(np.float32),
+            dev,
+        )
+        t0 = time.perf_counter()
+        idx, out = roundtrip(variables, x)
+        np.asarray(out)
+        print(f"[recon] compile+run {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            idx, out = roundtrip(variables, x)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(
+            f"[recon] {shape} extract+decode: {dt * 1e3:.1f} ms/vol → "
+            f"{60 / dt:.1f} volumes/min/chip; latent {idx.shape}"
+        )
+
+    if train:
+        # ---- config 2: full train step ---------------------------------
+        with jax.default_device(cpu):
+            state, g_tx, _ = create_vqvae_train_state(
+                model, jax.random.key(0), init_shape, learning_rate=3e-4
+            )
+        state = jax.device_put(state, dev)
+        step = jax.jit(make_vqvae_train_step(model, g_tx, loss_name=loss))
+        sched = {"lr": 3e-4, "d_lr": 5e-4, "decay": 0.5,
+                 "commitment_cost": 0.25, "gdl_factor": 0.0, "epoch": 0}
+        xb = jax.device_put(
+            np.random.default_rng(1).uniform(size=(batch,) + shape + (1,)).astype(np.float32),
+            dev,
+        )
+        t0 = time.perf_counter()
+        state, metrics = step(state, xb, sched)
+        print(f"[train] compile+run {time.perf_counter() - t0:.1f}s "
+              f"loss={float(metrics['Loss-MSE-Reconstruction']):.4f}")
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            state, metrics = step(state, xb, sched)
+        float(metrics["Loss-MSE-Reconstruction"])
+        np.asarray(state.step)
+        dt = (time.perf_counter() - t0) / reps
+        print(
+            f"[train] batch={batch} loss={loss}: {dt * 1e3:.0f} ms/step → "
+            f"{batch / dt:.2f} volumes/s/chip"
+        )
+
+
+if __name__ == "__main__":
+    main()
