@@ -69,6 +69,7 @@ def run(
     ff_mult: int = 4,
     ff_glu: bool = False,
     ff_chunks: int = 1,
+    reversible: bool = False,
     emb_dropout: float = 0.0,
     ff_dropout: float = 0.0,
     attn_dropout: float = 0.0,
@@ -86,6 +87,10 @@ def run(
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax
+
+    from synthanatomy_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
 
     cfg_kwargs = {
         k: v

