@@ -53,6 +53,7 @@ from synthanatomy_tpu.ops.local_attention import (
     local_attention_step,
     rotary_sin_cos,
 )
+from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
 
 __all__ = ["Performer", "PerformerCache"]
 
@@ -115,6 +116,7 @@ class PerformerAttention(nn.Module):
     dropout: float = 0.0
     scan_chunk: int = 128
     no_projection: bool = False
+    use_pallas_local: bool = True
     dtype: Any = jnp.bfloat16
 
     @property
@@ -180,8 +182,11 @@ class PerformerAttention(nn.Module):
                 )
             )
         if self.local_heads > 0:
+            local_fn = (
+                local_attention_flash if self.use_pallas_local else local_attention
+            )
             outs.append(
-                local_attention(
+                local_fn(
                     q[:, gh:],
                     k[:, gh:],
                     v[:, gh:],
@@ -279,15 +284,19 @@ class PerformerBlock(nn.Module):
     attn_out_bias: bool
     scan_chunk: int
     no_projection: bool
+    use_pallas_local: bool
     dtype: Any
 
     def setup(self):
         self.attn = PerformerAttention(
-            self.dim, self.heads, self.dim_head, self.local_heads,
-            self.local_window, self.nb_features, self.causal,
-            self.generalized, self.qkv_bias, self.attn_out_bias,
-            self.attn_dropout, self.scan_chunk, self.no_projection,
-            self.dtype, name="attn",
+            dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            local_heads=self.local_heads, local_window=self.local_window,
+            nb_features=self.nb_features, causal=self.causal,
+            generalized=self.generalized, qkv_bias=self.qkv_bias,
+            out_bias=self.attn_out_bias, dropout=self.attn_dropout,
+            scan_chunk=self.scan_chunk, no_projection=self.no_projection,
+            use_pallas_local=self.use_pallas_local, dtype=self.dtype,
+            name="attn",
         )
         self.ff = FeedForward(
             self.dim, self.ff_mult, self.ff_glu, self.ff_dropout, self.dtype,
@@ -370,6 +379,7 @@ class Performer(nn.Module):
     attn_out_bias: bool = False
     no_projection: bool = False
     cross_attend: bool = False
+    use_pallas_local: bool = True
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -487,8 +497,8 @@ class Performer(nn.Module):
                 self.generalized_attention, self.ff_mult, self.ff_glu,
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
-                self.scan_chunk, self.no_projection, self.dtype,
-                name=f"block_{i}",
+                self.scan_chunk, self.no_projection, self.use_pallas_local,
+                self.dtype, name=f"block_{i}",
             )
             for i in range(self.depth)
         ]

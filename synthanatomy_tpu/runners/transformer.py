@@ -77,6 +77,7 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
         conditioning_type=(
             config.conditioning_type if config.conditioning_num_tokens else "none"
         ),
+        use_pallas_local=config.use_pallas_local_attn,
         dtype=dtype,
     )
 

@@ -159,3 +159,40 @@ def test_local_attention_step_matches_batch():
         outs.append(np.asarray(o))
     inc = np.stack(outs, axis=2)
     np.testing.assert_allclose(inc, batch, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,window", [(16, 4), (20, 4), (24, 8)])
+def test_local_attention_flash_interpret_matches_xla(n, window):
+    from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
+
+    key = jax.random.key(11)
+    q, k, v = jax.random.normal(key, (3, 2, 2, n, 8))
+    ref = np.asarray(
+        local_attention(q, k, v, window=window, use_rotary=True)
+    )
+    out = np.asarray(
+        local_attention_flash(
+            q, k, v, window=window, use_rotary=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_local_attention_flash_grad_matches_xla():
+    from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
+
+    key = jax.random.key(12)
+    q, k, v = jax.random.normal(key, (3, 1, 2, 16, 8))
+
+    def f_ref(q, k, v):
+        return jnp.sum(local_attention(q, k, v, window=4, use_rotary=True) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            local_attention_flash(q, k, v, window=4, use_rotary=True, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -110,3 +110,36 @@ def test_run_transformer_flag_surface_matches_reference():
     }
     missing = reference_flags - params
     assert not missing, f"missing reference flags: {missing}"
+
+
+def test_inferers_api():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synthanatomy_tpu.inferers import (
+        TransformerTrainingInferer,
+        VQVAEDecodingInferer,
+        VQVAEExtractionInferer,
+    )
+    from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+
+    model = BaselineVQVAE(
+        n_levels=1,
+        downsample_parameters=((4, 2, 1, 1),),
+        upsample_parameters=((4, 2, 1, 0, 1),),
+        n_embed=8, embed_dim=4, n_channels=4, n_res_channels=4,
+        n_res_layers=1, dtype=jnp.float32, use_pallas_vq=False,
+    )
+    x = jnp.ones((1, 8, 8, 8, 1))
+    variables = model.init(jax.random.key(0), x)
+
+    ext = VQVAEExtractionInferer(model)(variables, x)
+    assert "reconstruction" in ext and "quantization_0" in ext
+    assert ext["quantization_0"].shape == (1, 4, 4, 4)
+
+    dec = VQVAEDecodingInferer(model)(variables, [ext["quantization_0"]])
+    np.testing.assert_allclose(
+        np.asarray(dec["sample"][0]), np.asarray(ext["reconstruction"][0]),
+        rtol=1e-5, atol=1e-6,
+    )
