@@ -272,7 +272,7 @@ class TransformerConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     compute_dtype: str = "bfloat16"
-    use_pallas_local_attn: bool = True
+    use_pallas_local_attn: bool = False
     donate_state: bool = True
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None

@@ -116,7 +116,10 @@ class PerformerAttention(nn.Module):
     dropout: float = 0.0
     scan_chunk: int = 128
     no_projection: bool = False
-    use_pallas_local: bool = True
+    # the Pallas flash kernel currently trails the XLA path at paper
+    # shapes (unaligned 420-row tiles, d=64 half-lane); opt-in until the
+    # tiled variant lands
+    use_pallas_local: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -379,7 +382,7 @@ class Performer(nn.Module):
     attn_out_bias: bool = False
     no_projection: bool = False
     cross_attend: bool = False
-    use_pallas_local: bool = True
+    use_pallas_local: bool = False
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -634,6 +637,39 @@ class Performer(nn.Module):
             _, cache = self._run_blocks_step(h, cache, jnp.asarray(idx, jnp.int32))
         return cache
 
+    def _pos_emb_at(self, t_global: jax.Array) -> jax.Array:
+        """O(dim) positional row at one position — avoids building the
+        full (L, dim) table inside the decode scan every step."""
+        if self.rotary_position_emb or self.fixed_position_emb:
+            inv_freq = 1.0 / (
+                10000 ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
+            )
+            s = t_global.astype(jnp.float32) * inv_freq
+            return jnp.concatenate([jnp.sin(s), jnp.cos(s)], axis=-1)
+        if self.axial_position_emb:
+            s0, s1 = self._axial_shape
+            return (
+                self.axial_emb_0[t_global // s1, 0] + self.axial_emb_1[0, t_global % s1]
+            )
+        return self.abs_pos_emb(t_global)
+
+    def _spatial_pos_at(self, t: jax.Array) -> Optional[jax.Array]:
+        """Σ per-axis coordinate embeddings at token position ``t``:
+        position 0 (BOS) → zeros; p ≥ 1 → coords of grid cell p-1."""
+        if self.spatial_position_emb is None:
+            return None
+        total = None
+        src = jnp.maximum(t - 1, 0)
+        for i, seq in enumerate(self._spatial_sequences):
+            coords = jnp.asarray(seq)
+            coord = coords[jnp.minimum(src, coords.shape[0] - 1)]
+            if self.spatial_position_emb == "absolute":
+                row = self.spatial_embs[i](coord)
+            else:
+                row = self._spatial_fixed[i][jnp.minimum(src, coords.shape[0] - 1)]
+            total = row if total is None else total + row
+        return jnp.where(t == 0, jnp.zeros_like(total), total)
+
     def decode_step(
         self,
         token_t: jax.Array,
@@ -650,9 +686,9 @@ class Performer(nn.Module):
         """
         h = self.token_emb(token_t[:, None])[:, 0]  # (B, dim)
 
-        sp = self._spatial_pos_sum(self.max_seq_len)
+        sp = self._spatial_pos_at(t)
         if sp is not None:
-            h = h + jax.lax.dynamic_slice_in_dim(sp[0], t, 1, axis=0)[0].astype(h.dtype)
+            h = h + sp.astype(h.dtype)
 
         if (
             conditionings is not None
@@ -664,10 +700,7 @@ class Performer(nn.Module):
             h = jnp.where(t == 0, c, h)
 
         t_global = t + self.n_prepend
-        pos_table = self._pos_emb(self.effective_seq_len)[0]
-        h = h + jax.lax.dynamic_slice_in_dim(pos_table, t_global, 1, axis=0)[0].astype(
-            h.dtype
-        )
+        h = h + self._pos_emb_at(t_global).astype(h.dtype)
 
         h, new_cache = self._run_blocks_step(h, cache, t_global)
 

@@ -45,8 +45,12 @@ __all__ = [
 
 
 def default_nb_features(dim_head: int) -> int:
-    """performer-pytorch default: ``int(dim_head · ln(dim_head))``."""
-    return int(dim_head * math.log(dim_head))
+    """The consumed implementation defaults to
+    ``int(dim_head · ln(dim_head))`` (266 for d=64); we round to the
+    nearest multiple of 128 (TPU lane width) so the feature dim tiles
+    the MXU/VPU exactly — 256 for d=64, a negligible estimator change."""
+    raw = int(dim_head * math.log(dim_head))
+    return max(128, round(raw / 128) * 128)
 
 
 def gaussian_orthogonal_random_matrix(

@@ -37,9 +37,10 @@ from synthanatomy_tpu.ops.local_attention import (
 __all__ = ["local_attention_flash"]
 
 
-def _kernel(q_ref, k2_ref, v2_ref, qpos_ref, kpos_ref, o_ref):
-    """Blocks arrive as q (1,1,w,d); k2/v2 (1,1,2w,d); qpos (1,w,1);
-    kpos (1,2w,1) int32; out (1,1,w,d)."""
+def _kernel(q_ref, k2_ref, v2_ref, o_ref):
+    """Blocks: q (1,1,w,d); k2/v2 (1,1,2w,d); out (1,1,w,d).  Positions
+    are derived from the bucket index (grid dim 1) with broadcasted
+    iota — no tiny-lane position operands (Mosaic-hostile)."""
     q = q_ref[0, 0].astype(jnp.float32)  # (w, d)
     k2 = k2_ref[0, 0].astype(jnp.float32)  # (2w, d)
     v2 = v2_ref[0, 0].astype(jnp.float32)
@@ -52,11 +53,14 @@ def _kernel(q_ref, k2_ref, v2_ref, qpos_ref, kpos_ref, o_ref):
         preferred_element_type=jnp.float32,
     ) * (d**-0.5)  # (w, 2w)
 
-    q_pos = qpos_ref[0]  # (w, 1)
-    k_pos = kpos_ref[0].reshape(1, -1)  # (1, 2w)
-    allowed = (k_pos <= q_pos) & (k_pos > q_pos - w) & (k_pos >= 0)
-    neg = jnp.float32(-1e30)
-    scores = jnp.where(allowed, scores, neg)
+    j = pl.program_id(1)  # bucket index
+    base = j * w
+    # within-bucket relative positions; absolute = base + rel
+    q_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 0)
+    k_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 1) - w
+    # causal: k ≤ q; locality: k > q - w; validity: k absolute ≥ 0
+    allowed = (k_rel <= q_rel) & (k_rel > q_rel - w) & (base + k_rel >= 0)
+    scores = jnp.where(allowed, scores, jnp.float32(-1e30))
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -87,11 +91,6 @@ def _forward(q, k, v, window: int, interpret: bool):
     k2 = jnp.concatenate([k_prev, kf], axis=2)  # (bh, nb, 2w, d)
     v2 = jnp.concatenate([v_prev, vf], axis=2)
 
-    q_pos = jnp.arange(n_pad, dtype=jnp.int32).reshape(nb, window, 1)
-    k_pos = jnp.concatenate(
-        [q_pos[:, :, 0] - window, q_pos[:, :, 0]], axis=-1
-    ).reshape(nb, 2 * window, 1)
-
     grid = (bh, nb)
     out = pl.pallas_call(
         _kernel,
@@ -100,8 +99,6 @@ def _forward(q, k, v, window: int, interpret: bool):
             pl.BlockSpec((1, 1, window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * window, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
@@ -113,7 +110,7 @@ def _forward(q, k, v, window: int, interpret: bool):
             bytes_accessed=bh * nb * window * d * 2 * 4,
             transcendentals=bh * nb * window * 2 * window,
         ),
-    )(qf, k2, v2, q_pos, k_pos)
+    )(qf, k2, v2)
 
     out = out.reshape(b, h, n_pad, d)[:, :, :n]
     return out

@@ -18,7 +18,13 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["performer_param_spec", "param_shardings", "shard_params"]
+__all__ = [
+    "performer_param_spec",
+    "param_shardings",
+    "shard_params",
+    "zero1_opt_state_shardings",
+    "shard_opt_state_zero1",
+]
 
 # (path regex, spec) — first match wins.  Paths are '/'-joined key
 # sequences into the flax params tree.
@@ -69,3 +75,39 @@ def param_shardings(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
 
 def shard_params(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
     return jax.device_put(params, param_shardings(mesh, params, spec_fn))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: shard optimizer state (Adam moments) over the data axis.
+# The reference has nothing comparable (deepspeed is used only for
+# init_distributed, SURVEY.md §2.10); under GSPMD this is purely a
+# placement annotation — the all-gathers for the update are inserted
+# automatically and ride ICI.
+# ---------------------------------------------------------------------------
+
+
+def zero1_opt_state_shardings(mesh: Mesh, opt_state: Any, axis: str = "data"):
+    """NamedSharding tree sharding the leading dim of every ≥1-D
+    optimizer-state leaf over ``axis`` when divisible (moments, etc.);
+    scalars/counts stay replicated."""
+    size = mesh.shape.get(axis, 1)
+
+    def _one(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and size > 1
+            and leaf.shape[0] % size == 0
+        ):
+            return NamedSharding(
+                mesh, P(axis, *([None] * (leaf.ndim - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(_one, opt_state)
+
+
+def shard_opt_state_zero1(mesh: Mesh, opt_state: Any, axis: str = "data"):
+    return jax.device_put(
+        opt_state, zero1_opt_state_shardings(mesh, opt_state, axis)
+    )

@@ -155,3 +155,39 @@ def test_favor_sequence_parallel_matches_single_device():
     )
     out = np.asarray(jax.jit(sp_fn)(q, k, v, proj))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_zero1_optimizer_sharding_matches_replicated():
+    """ZeRO-1 sharded optimizer state must produce the same update as
+    fully replicated state."""
+    from synthanatomy_tpu.parallel.sharding_rules import shard_opt_state_zero1
+
+    model = Performer(
+        num_tokens=9, max_seq_len=16, dim=16, depth=1, heads=2, dim_head=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 16, learning_rate=1e-3
+    )
+    step = make_transformer_train_step(model, tx)
+    inputs = jax.random.randint(jax.random.key(1), (8, 16), 0, 8)
+    targets = jax.random.randint(jax.random.key(2), (8, 16), 0, 8)
+
+    ref_state, _ = jax.jit(step)(state, inputs, targets, None, {"lr": 1e-3})
+
+    mesh = make_mesh((8,), ("data",))
+    sharded = state.replace(
+        params=jax.device_put(state.params, replicated(mesh)),
+        favor=jax.device_put(state.favor, replicated(mesh)),
+        opt_state=shard_opt_state_zero1(mesh, state.opt_state),
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+    xi = jax.device_put(inputs, data_sharding(mesh, 2))
+    xt = jax.device_put(targets, data_sharding(mesh, 2))
+    with jax.set_mesh(mesh):
+        out_state, _ = jax.jit(step)(sharded, xi, xt, None, {"lr": 1e-3})
+
+    a = np.asarray(jax.device_get(out_state.params["token_emb"]["embedding"]))
+    b = np.asarray(ref_state.params["token_emb"]["embedding"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
