@@ -44,20 +44,24 @@ def create_transformer_train_state(
     conditionings: Optional[Sequence[jax.Array]] = None,
 ) -> Tuple[TransformerTrainState, optax.GradientTransformation]:
     init_rng, favor_rng, state_rng = jax.random.split(rng, 3)
-    x = jnp.zeros((1, seq_len), jnp.int32)
-    variables = model.init(
-        {"params": init_rng, "favor": favor_rng, "dropout": init_rng},
-        x,
-        conditionings,
-    )
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
-    state = TransformerTrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        favor=variables.get("favor", {}),
-        opt_state=tx.init(variables["params"]),
-        rng=state_rng,
-    )
+    # init on host CPU (eager device dispatch through the TPU tunnel is
+    # minutes-slow for deep models)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        x = jnp.zeros((1, min(seq_len, 16)), jnp.int32)
+        variables = model.init(
+            {"params": init_rng, "favor": favor_rng, "dropout": init_rng},
+            x,
+            conditionings,
+        )
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+        state = TransformerTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            favor=variables.get("favor", {}),
+            opt_state=tx.init(variables["params"]),
+            rng=state_rng,
+        )
     return state, tx
 
 

@@ -73,21 +73,27 @@ def create_vqvae_train_state(
 ) -> Tuple[VQVAETrainState, Any, Any]:
     """Initialize model+optimizer state.  Returns (state, g_tx, d_tx)."""
     init_rng, d_rng, state_rng = jax.random.split(rng, 3)
-    x = jnp.zeros((1,) + tuple(input_shape) + (1,), jnp.float32)
-    variables = model.init({"params": init_rng, "dropout": init_rng}, x)
-    g_params = variables["params"]
-    vq = variables["vq"]
-    g_tx = _adam(learning_rate)
-    g_opt_state = g_tx.init(g_params)
+    # init on host CPU: eager per-op dispatch on the device (tunnel) is
+    # orders of magnitude slower, and params are placement-independent.
+    # Conv params don't depend on spatial size, so init small.
+    cpu = jax.local_devices(backend="cpu")[0]
+    small_shape = tuple(min(int(s), 32) for s in input_shape)
+    with jax.default_device(cpu):
+        x = jnp.zeros((1,) + small_shape + (1,), jnp.float32)
+        variables = model.init({"params": init_rng, "dropout": init_rng}, x)
+        g_params = variables["params"]
+        vq = variables["vq"]
+        g_tx = _adam(learning_rate)
+        g_opt_state = g_tx.init(g_params)
 
-    d_params = d_batch_stats = d_opt_state = None
-    d_tx = None
-    if d_model is not None:
-        d_vars = d_model.init(d_rng, x, training=True)
-        d_params = d_vars["params"]
-        d_batch_stats = d_vars.get("batch_stats")
-        d_tx = _adam(d_learning_rate)
-        d_opt_state = d_tx.init(d_params)
+        d_params = d_batch_stats = d_opt_state = None
+        d_tx = None
+        if d_model is not None:
+            d_vars = d_model.init(d_rng, x, training=True)
+            d_params = d_vars["params"]
+            d_batch_stats = d_vars.get("batch_stats")
+            d_tx = _adam(d_learning_rate)
+            d_opt_state = d_tx.init(d_params)
 
     state = VQVAETrainState(
         step=jnp.zeros((), jnp.int32),
