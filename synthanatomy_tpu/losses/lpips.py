@@ -29,14 +29,25 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 __all__ = [
+    "LPIPSParams",
     "init_lpips_params",
     "load_lpips_npz",
     "lpips_distance",
     "ALEX_CHANNELS",
     "SQUEEZE_CHANNELS",
 ]
+
+
+class LPIPSParams(struct.PyTreeNode):
+    """LPIPS parameter pytree; ``kind`` is static metadata (not a
+    leaf) so the whole object passes through ``jax.jit`` arguments."""
+
+    net: Any
+    lin: Any
+    kind: str = struct.field(pytree_node=False, default="alex")
 
 # per-tap feature channel counts
 ALEX_CHANNELS = (64, 192, 384, 256, 256)
@@ -57,10 +68,10 @@ def _conv_init(key, kh, kw, cin, cout):
     return {"w": w, "b": b}
 
 
-def init_lpips_params(key: jax.Array, net: str = "alex") -> Dict[str, Any]:
+def init_lpips_params(key: jax.Array, net: str = "alex") -> "LPIPSParams":
     """Build the LPIPS parameter pytree for ``net`` ∈ {'alex','squeeze'}."""
     keys = iter(jax.random.split(key, 64))
-    params: Dict[str, Any] = {"net": {}, "lin": {}, "kind": net}
+    params: Dict[str, Any] = {"net": {}, "lin": {}}
     if net == "alex":
         specs = [
             ("conv1", 11, 3, 64),
@@ -102,23 +113,24 @@ def init_lpips_params(key: jax.Array, net: str = "alex") -> Dict[str, Any]:
             jax.random.uniform(next(keys), (1, 1, c, 1), jnp.float32, -0.1, 0.1)
         )
         params["lin"][f"lin{i}"] = {"w": w}
-    return params
+    return LPIPSParams(net=params["net"], lin=params["lin"], kind=net)
 
 
-def load_lpips_npz(path: str) -> Dict[str, Any]:
+def load_lpips_npz(path: str) -> "LPIPSParams":
     """Load parameters saved as flat 'a/b/c' keys in an npz."""
     flat = dict(np.load(path))
     params: Dict[str, Any] = {}
+    kind = "alex"
     for k, v in flat.items():
         if k == "kind":
-            params["kind"] = str(v)
+            kind = str(v)
             continue
         node = params
         parts = k.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(v)
-    return params
+    return LPIPSParams(net=params["net"], lin=params["lin"], kind=kind)
 
 
 def _conv2d(x, p, *, stride=1, padding=0):
@@ -208,7 +220,9 @@ def lpips_distance(
     ``normalize`` (matching the reference's ``normalize=True`` calls),
     else in [-1,1].  Returns (N,) fp32.
     """
-    kind = params.get("kind", "alex")
+    kind = (
+        params.kind if isinstance(params, LPIPSParams) else params.get("kind", "alex")
+    )
     if x.shape[1] < 16 or x.shape[2] < 16:
         raise ValueError(
             f"LPIPS needs spatial dims ≥ 16, got {x.shape[1:3]} — the "
@@ -225,14 +239,16 @@ def lpips_distance(
     x = (x - shift) / scale
     y = (y - shift) / scale
 
+    net = params.net if isinstance(params, LPIPSParams) else params["net"]
+    lin = params.lin if isinstance(params, LPIPSParams) else params["lin"]
     feats = _alex_features if kind == "alex" else _squeeze_features
-    fx = feats(params["net"], x)
-    fy = feats(params["net"], y)
+    fx = feats(net, x)
+    fy = feats(net, y)
 
     total = jnp.zeros((x.shape[0],), jnp.float32)
     for i, (a, b) in enumerate(zip(fx, fy)):
         d = jnp.square(_normalize_tensor(a) - _normalize_tensor(b))  # (N,H,W,C)
-        w = params["lin"][f"lin{i}"]["w"].astype(jnp.float32)  # (1,1,C,1)
+        w = lin[f"lin{i}"]["w"].astype(jnp.float32)  # (1,1,C,1)
         proj = jnp.einsum("nhwc,c->nhw", d, w[0, 0, :, 0])
         total = total + jnp.mean(proj, axis=(1, 2))
     return total

@@ -44,7 +44,9 @@ def build_vqvae(config: VQVAEConfig, dtype=None):
         use_subpixel_conv=config.use_subpixel_conv,
         embedding_init=config.embedding_init[0],
         dtype=dtype,
-        use_pallas_vq=config.use_pallas_vq if config.use_pallas_vq else None,
+        # True means "auto" (pallas on TPU, XLA elsewhere — incl. the
+        # host-CPU init scope); False forces the XLA path everywhere
+        use_pallas_vq=None if config.use_pallas_vq else False,
         use_remat=config.use_remat,
     )
 

@@ -47,15 +47,16 @@ def test_alex_conversion_structure_and_run(tmp_path):
     def paths(tree, prefix=""):
         out = set()
         for k, v in tree.items():
-            if k == "kind":
-                continue
             if isinstance(v, dict):
                 out |= paths(v, prefix + k + "/")
             else:
                 out.add(prefix + k + ":" + str(np.shape(v)))
         return out
 
-    assert paths(params) == paths(ref)
+    assert params.kind == ref.kind == "alex"
+    assert paths({"net": params.net, "lin": params.lin}) == paths(
+        {"net": ref.net, "lin": ref.lin}
+    )
 
     x = np.random.default_rng(1).uniform(size=(2, 64, 64, 1)).astype(np.float32)
     d = lpips_distance(params, x, x)
