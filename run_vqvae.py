@@ -121,6 +121,11 @@ def run(
     cfg_kwargs = {
         k: v for k, v in locals().items() if k in VQVAEConfig.__dataclass_fields__
     }
+    # amp=False → fp32 compute (the reference's AMP toggle; on TPU the
+    # 'on' form is the bf16 policy)
+    if not amp and compute_dtype == "bfloat16":
+        cfg_kwargs["compute_dtype"] = "float32"
+
     # multi-host rank info (jax.distributed replaces the deepspeed/NCCL
     # env plumbing, reference run_vqvae.py:831-846)
     cfg_kwargs["rank"] = jax.process_index()

@@ -230,6 +230,9 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
     tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
     tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)
+    tb_train_eval = TBLogger(
+        f"{dirs['logs_directory']}/train_eval", enabled=config.rank == 0
+    )
 
     try:
         ms_ssim_win = get_ms_ssim_window(
@@ -294,30 +297,43 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 C.save_checkpoint(dirs["checkpoint_directory"], host_state, epoch + 1)
 
             if "val" in loaders and (epoch + 1) % config.eval_every == 0:
-                vals = {"MAE": [], "MSE": [], "MS-SSIM": []}
-                last = None
-                for batch in loaders["val"].epoch(epoch):
-                    x = shard_batch(mesh, batch["MRI"])
-                    recon, _ = eval_step(state, x, sched, lpips_params)
-                    recon = np.asarray(jax.device_get(recon), np.float32)
-                    xb = batch["MRI"]
-                    vals["MAE"].append(float(mae(recon, xb)))
-                    vals["MSE"].append(float(mse(recon, xb)))
-                    if ms_ssim_win is not None:
-                        vals["MS-SSIM"].append(
-                            float(ms_ssim_3d(recon, xb, win_size=ms_ssim_win))
-                        )
-                    last = (xb[0], recon[0])
-                val_metrics = {k: float(np.mean(v)) for k, v in vals.items() if v}
+
+                def run_eval(loader):
+                    vals = {"MAE": [], "MSE": [], "MS-SSIM": []}
+                    last = None
+                    for batch in loader.epoch(epoch):
+                        x = shard_batch(mesh, batch["MRI"])
+                        recon, _ = eval_step(state, x, sched, lpips_params)
+                        recon = np.asarray(jax.device_get(recon), np.float32)
+                        xb = batch["MRI"]
+                        vals["MAE"].append(float(mae(recon, xb)))
+                        vals["MSE"].append(float(mse(recon, xb)))
+                        if ms_ssim_win is not None:
+                            vals["MS-SSIM"].append(
+                                float(ms_ssim_3d(recon, xb, win_size=ms_ssim_win))
+                            )
+                        last = (xb[0], recon[0])
+                    return {k: float(np.mean(v)) for k, v in vals.items() if v}, last
+
+                val_metrics, last = run_eval(loaders["val"])
+                # clean-transform training-set evaluator (the reference's
+                # third engine, run_vqvae.py:300)
+                train_eval_metrics = (
+                    run_eval(loaders["train_eval"])[0]
+                    if "train_eval" in loaders
+                    else {}
+                )
                 if config.rank == 0:
                     tb_val.scalars(val_metrics, epoch + 1)
+                    tb_train_eval.scalars(train_eval_metrics, epoch + 1)
                     if last is not None and config.save_2d_images:
                         tb_val.volume_images("originals", last[0], epoch + 1, config.save_2d_images)
                         tb_val.volume_images("reconstructions", last[1], epoch + 1, config.save_2d_images)
                     if last is not None and config.save_3d_images:
                         tb_val.volume_gif("originals_3d", last[0], epoch + 1)
                         tb_val.volume_gif("reconstructions_3d", last[1], epoch + 1)
-                    logger.info(f"eval @ {epoch + 1}: {val_metrics}")
+                    logger.info(f"eval @ {epoch + 1}: val {val_metrics} "
+                                f"train_eval {train_eval_metrics}")
                 key = val_metrics.get("MS-SSIM", -val_metrics.get("MSE", np.inf))
                 if key > best_metric:
                     best_metric = key
@@ -330,6 +346,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
     C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
     tb_train.close()
     tb_val.close()
+    tb_train_eval.close()
     return {"state": host_state, "history": history, "dirs": dirs}
 
 
