@@ -20,13 +20,19 @@ sampling: O(w) per step.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["local_attention", "local_attention_step", "rotary_sin_cos", "apply_rotary"]
+__all__ = [
+    "local_attention",
+    "local_attention_sequence_parallel",
+    "local_attention_step",
+    "rotary_sin_cos",
+    "apply_rotary",
+]
 
 
 def rotary_sin_cos(dim: int, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -56,14 +62,24 @@ def local_attention(
     window: int,
     causal: bool = True,
     use_rotary: bool = True,
+    position_offset: Union[int, jax.Array] = 0,
+    halo_k: Optional[jax.Array] = None,
+    halo_v: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """q,k,v: (B, H, L, d) → (B, H, L, d)."""
+    """q,k,v: (B, H, L, d) → (B, H, L, d).
+
+    ``position_offset`` shifts the absolute positions (rotary phases +
+    causal/validity masks) — used by sequence-parallel shards.
+    ``halo_k``/``halo_v`` (B, H, window, d) supply the previous
+    ``window`` keys/values from the neighbouring shard (already
+    rotary-rotated for their absolute positions) for bucket 0.
+    """
     b, h, n, d = q.shape
     in_dtype = v.dtype
     scale = d**-0.5
 
     if use_rotary:
-        pos = jnp.arange(n)
+        pos = jnp.arange(n) + position_offset
         sin, cos = rotary_sin_cos(d, pos)
         q = apply_rotary(q.astype(jnp.float32), sin, cos)
         k = apply_rotary(k.astype(jnp.float32), sin, cos)
@@ -79,10 +95,13 @@ def local_attention(
     kb = k.reshape(b, h, nb, window, d)
     vb = v.reshape(b, h, nb, window, d)
 
-    # previous bucket (look_backward=1); bucket 0's "previous" is junk
-    # but fully masked below
+    # previous bucket (look_backward=1); bucket 0's "previous" is the
+    # cross-shard halo when given, junk-but-masked otherwise
     k_prev = jnp.roll(kb, 1, axis=2)
     v_prev = jnp.roll(vb, 1, axis=2)
+    if halo_k is not None:
+        k_prev = k_prev.at[:, :, 0].set(halo_k.astype(k_prev.dtype))
+        v_prev = v_prev.at[:, :, 0].set(halo_v.astype(v_prev.dtype))
     k2 = jnp.concatenate([k_prev, kb], axis=3)  # (b,h,nb,2w,d)
     v2 = jnp.concatenate([v_prev, vb], axis=3)
 
@@ -92,7 +111,7 @@ def local_attention(
 
     # mask: key absolute position must be ≤ query absolute position
     # (causal) and > query position - window (locality), and valid
-    q_pos = jnp.arange(n_pad).reshape(nb, window)  # (nb, w)
+    q_pos = jnp.arange(n_pad).reshape(nb, window) + position_offset  # (nb, w)
     k_pos = jnp.concatenate(
         [q_pos - window, q_pos], axis=-1
     )  # (nb, 2w) absolute positions of gathered keys
@@ -163,3 +182,61 @@ def local_attention_step(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhj,bhjd->bhd", probs, cache_v)
     return out.astype(in_dtype), cache_k, cache_v
+
+
+def local_attention_sequence_parallel(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    window: int,
+    axis_name: str,
+    use_rotary: bool = True,
+) -> jax.Array:
+    """Sequence-parallel blocked local attention — call under
+    ``shard_map`` with q/k/v sharded along L over ``axis_name``.
+
+    Context parallelism for the local heads needs only a *halo
+    exchange* of the previous ``window`` keys/values between
+    neighbouring shards over ICI (``ppermute``) — no ring attention
+    (SURVEY.md §5.7).  Requires the per-shard length to be a multiple
+    of ``window``.  Exact vs single-device :func:`local_attention`.
+    """
+    b, h, n_local, d = q.shape
+    if n_local % window != 0:
+        raise ValueError(
+            f"sequence-parallel local attention needs shard length "
+            f"({n_local}) divisible by window ({window})"
+        )
+    idx = jax.lax.axis_index(axis_name)
+    n_shards = jax.lax.axis_size(axis_name)
+    offset = idx * n_local
+
+    if use_rotary:
+        pos = jnp.arange(n_local) + offset
+        sin, cos = rotary_sin_cos(d, pos)
+        q = apply_rotary(q.astype(jnp.float32), sin, cos)
+        k = apply_rotary(k.astype(jnp.float32), sin, cos)
+
+    # halo: my last `window` (rotated) keys/values → right neighbour
+    halo_k = jax.lax.ppermute(
+        k[:, :, -window:],
+        axis_name,
+        [(i, (i + 1) % n_shards) for i in range(n_shards)],
+    )
+    halo_v = jax.lax.ppermute(
+        v[:, :, -window:].astype(jnp.float32),
+        axis_name,
+        [(i, (i + 1) % n_shards) for i in range(n_shards)],
+    )
+    # shard 0's incoming halo wraps around from the last shard; its
+    # k_pos < 0 mask already rejects it, so no special-casing needed
+    return local_attention(
+        q, k, v,
+        window=window,
+        causal=True,
+        use_rotary=False,
+        position_offset=offset,
+        halo_k=halo_k,
+        halo_v=halo_v,
+    )

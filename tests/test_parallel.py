@@ -191,3 +191,31 @@ def test_zero1_optimizer_sharding_matches_replicated():
     a = np.asarray(jax.device_get(out_state.params["token_emb"]["embedding"]))
     b = np.asarray(ref_state.params["token_emb"]["embedding"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_local_attention_sequence_parallel_matches_single_device():
+    """Halo-exchange context parallelism for the local heads must equal
+    single-device blocked local attention."""
+    from jax.experimental.shard_map import shard_map
+
+    from synthanatomy_tpu.ops.local_attention import (
+        local_attention,
+        local_attention_sequence_parallel,
+    )
+
+    b, h, n, d, w = 2, 2, 64, 8, 8
+    q, k, v = jax.random.normal(jax.random.key(0), (3, b, h, n, d))
+    ref = np.asarray(local_attention(q, k, v, window=w, use_rotary=True))
+
+    mesh = make_mesh((4,), ("seq",), devices=jax.devices()[:4])
+    spec = P(None, None, "seq", None)
+    sp_fn = shard_map(
+        lambda q, k, v: local_attention_sequence_parallel(
+            q, k, v, window=w, axis_name="seq"
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    out = np.asarray(jax.jit(sp_fn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
