@@ -23,7 +23,6 @@ normalization/aggregation in fp32).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

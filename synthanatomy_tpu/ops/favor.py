@@ -26,7 +26,6 @@ All feature/attention math in fp32 (bf16-safe), inputs may be bf16.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Callable, Optional, Tuple
 

@@ -25,10 +25,8 @@ by design:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
