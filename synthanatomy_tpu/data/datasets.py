@@ -328,22 +328,25 @@ class PrefetchLoader:
                     bi, batch_idx = job_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset.get(i, epoch) for i in batch_idx]
-                collated: Dict[str, Any] = {}
-                for k in self.collate_keys:
-                    collated[k] = np.stack([s[k] for s in samples])
-                if "conditionings" in samples[0]:
-                    n_conds = len(samples[0]["conditionings"])
-                    collated["conditionings"] = [
-                        np.stack([s["conditionings"][c] for s in samples])
-                        for c in range(n_conds)
+                try:
+                    samples = [self.dataset.get(i, epoch) for i in batch_idx]
+                    collated: Dict[str, Any] = {}
+                    for k in self.collate_keys:
+                        collated[k] = np.stack([s[k] for s in samples])
+                    if "conditionings" in samples[0]:
+                        n_conds = len(samples[0]["conditionings"])
+                        collated["conditionings"] = [
+                            np.stack([s["conditionings"][c] for s in samples])
+                            for c in range(n_conds)
+                        ]
+                    collated["paths"] = [s.get("path") for s in samples]
+                    collated["traces"] = [s.get("trace") for s in samples]
+                    collated["affines"] = [s.get("affine") for s in samples]
+                    collated["augmentation_ids"] = [
+                        s.get("augmentation_id", 0) for s in samples
                     ]
-                collated["paths"] = [s.get("path") for s in samples]
-                collated["traces"] = [s.get("trace") for s in samples]
-                collated["affines"] = [s.get("affine") for s in samples]
-                collated["augmentation_ids"] = [
-                    s.get("augmentation_id", 0) for s in samples
-                ]
+                except BaseException as e:  # propagate to the consumer
+                    collated = e
                 with results_lock:
                     results[bi] = collated
 
@@ -362,7 +365,10 @@ class PrefetchLoader:
                 ready = next_bi in results
             if ready:
                 with results_lock:
-                    yield results.pop(next_bi)
+                    item = results.pop(next_bi)
+                if isinstance(item, BaseException):
+                    raise item  # worker failure surfaces at the consumer
+                yield item
                 next_bi += 1
             else:
                 time.sleep(0.002)

@@ -133,8 +133,8 @@ def uniform_sampling(
     dfgby = df.groupby(list(chosen_conditionings))
     n = int(dfgby.size().min())
     samples = [
-        dfgby.get_group(key).sample(n=n, replace=False, random_state=0, axis=0)
-        for key in dfgby.groups
+        group.sample(n=n, replace=False, random_state=0)
+        for _, group in dfgby
     ]
     out = f"{output_path}/uniform_quantized_conditioning.csv"
     pd.concat(samples).to_csv(out, index=False)

@@ -279,3 +279,45 @@ def test_get_ms_ssim_window_rule():
     assert get_ms_ssim_window(roi=((16, 176), (16, 240), (96, 256))) == 5
     with pytest.raises(ValueError):
         get_ms_ssim_window(eval_patch_size=(16, 16, 16))
+
+
+def test_loader_propagates_worker_errors(nifti_dir):
+    class Broken(VolumeDataset):
+        def get(self, index, epoch=0):
+            raise RuntimeError("boom")
+
+    ds = Broken(
+        discover_subjects(nifti_dir), T.VQVAETransform(augment=False)
+    )
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader.epoch(0))
+
+
+def test_conditioning_preprocessing_helpers(tmp_path):
+    import pandas as pd
+
+    from synthanatomy_tpu.utils.general import (
+        quantize_conditionings,
+        uniform_sampling,
+    )
+
+    df = pd.DataFrame(
+        {
+            "subject": [f"s{i}" for i in range(12)],
+            "age": np.linspace(50, 80, 12),
+            "group": [0, 1] * 6,
+        }
+    )
+    src = tmp_path / "cond.csv"
+    df.to_csv(src, index=False)
+
+    out = quantize_conditionings(
+        str(src), "subject", ("age",), (3,), str(tmp_path), "quantized"
+    )
+    q = pd.read_csv(out)
+    assert set(q["age"].unique()) == {0, 1, 2}
+
+    out2 = uniform_sampling(str(src), ("group",), str(tmp_path))
+    u = pd.read_csv(out2)
+    assert (u.groupby("group").size() == u.groupby("group").size().min()).all()
