@@ -40,7 +40,7 @@ def make_synthesizer(
     top_k: Optional[int] = None,
     do_sample: bool = True,
     with_conditionings: bool = False,
-    decode_batch: int = 4,
+    decode_batch: int = 8,
 ):
     """Build the two-stage device-resident synthesis function."""
     sampler = make_sampler(
