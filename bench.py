@@ -74,11 +74,13 @@ def main() -> None:
         return tokens.at[:, t + 1].set(nxt)
 
     tokens = jnp.full((BATCH, SEQ + 1), 2048, jnp.int32)
-    tokens = naive_step(variables, tokens, jnp.asarray(0), jax.random.key(9))
-    np.asarray(tokens)  # compile + settle
-    MEASURE = 30
+    # compile + warm up (tunnel stragglers distort the first few steps)
+    for t in range(4):
+        tokens = naive_step(variables, tokens, jnp.asarray(t), jax.random.key(9 + t))
+    np.asarray(tokens)
+    MEASURE = 60
     t0 = time.perf_counter()
-    for t in range(1, 1 + MEASURE):
+    for t in range(4, 4 + MEASURE):
         tokens = naive_step(variables, tokens, jnp.asarray(t), jax.random.key(10 + t))
     np.asarray(tokens)
     naive_per_step = (time.perf_counter() - t0) / MEASURE

@@ -175,3 +175,26 @@ def test_scheduler_calculators_match_reference_semantics():
     assert schedulers.decay_warmup_linear(0.5, 50, 50) == pytest.approx(0.99)
     with pytest.raises(ValueError):
         schedulers.get_calculator("cosine")
+
+
+def test_runner_scheduled_values():
+    """The runner's per-epoch scheduled-scalar assembly (auto gamma,
+    decay warmup, Baur GDL ramp)."""
+    from synthanatomy_tpu.config import VQVAEConfig
+    from synthanatomy_tpu.runners.vqvae import _scheduled
+
+    cfg = VQVAEConfig(
+        adversarial_component=False, loss="baur", gamma="auto", epochs=10,
+        learning_rate=3e-4, decay=(0.5,), decay_warmup="linear",
+        max_decay_epochs=10, initial_factor_value=0,
+        initial_factor_steps=2, max_factor_steps=5, max_factor_value=5,
+    )
+    s0 = _scheduled(cfg, 0, epoch_length=7)
+    s9 = _scheduled(cfg, 9, epoch_length=7)
+    assert s0["lr"] == pytest.approx(3e-4)
+    assert s9["lr"] < s0["lr"]
+    assert s0["decay"] == pytest.approx(0.5)
+    assert s9["decay"] > s0["decay"] and s9["decay"] <= 0.99
+    assert s0["gdl_factor"] == 0.0
+    assert s9["gdl_factor"] == pytest.approx(5.0)
+    assert s0["commitment_cost"] == 0.25
