@@ -338,8 +338,16 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
     written: List[str] = []
     key = jax.random.key(config.seed)
     for bi, batch in enumerate(loader.epoch(0)):
-        if batch["latents"].shape[0] != config.eval_batch_size:
-            break  # static batch for the compiled sampler
+        n_real = batch["latents"].shape[0]
+        # pad the tail batch so the compiled sampler's static batch is
+        # kept (extra samples are discarded)
+        if n_real < config.eval_batch_size:
+            reps = config.eval_batch_size - n_real
+            if "conditionings" in batch:
+                batch["conditionings"] = [
+                    np.concatenate([c, np.repeat(c[-1:], reps, axis=0)])
+                    for c in batch["conditionings"]
+                ]
         key, sub = jax.random.split(key)
         if config.conditioning_num_tokens is not None:
             conds = [jnp.asarray(c) for c in batch["conditionings"]]
@@ -347,7 +355,7 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         else:
             grids = sampler(variables, sub)
         grids = np.asarray(jax.device_get(grids)).astype(np.uint16)
-        for b, src in enumerate(batch["paths"]):
+        for b, src in enumerate(batch["paths"][:n_real]):
             base = os.path.basename(src).replace(".npy", "")
             out = f"{dirs['outputs_directory']}/{base}_sample.npy"
             np.save(out, grids[b])

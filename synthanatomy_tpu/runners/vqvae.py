@@ -244,6 +244,23 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
         ms_ssim_win = None
         logger.warning("input too small for MS-SSIM; metric disabled")
 
+    # device-side (jitted) eval metrics — eager metric math per batch
+    # would dispatch op-by-op through the device tunnel
+    if ms_ssim_win is not None:
+
+        @jax.jit
+        def eval_metrics_fn(recon, x):
+            return (
+                mae(recon, x), mse(recon, x),
+                ms_ssim_3d(recon, x, win_size=ms_ssim_win),
+            )
+
+    else:
+
+        @jax.jit
+        def eval_metrics_fn(recon, x):
+            return mae(recon, x), mse(recon, x), jnp.zeros(())
+
     state = jax.device_put(state, replicated(mesh))
     history: List[Dict[str, float]] = []
     best_metric = -np.inf
@@ -304,15 +321,17 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                     for batch in loader.epoch(epoch):
                         x = shard_batch(mesh, batch["MRI"])
                         recon, _ = eval_step(state, x, sched, lpips_params)
-                        recon = np.asarray(jax.device_get(recon), np.float32)
-                        xb = batch["MRI"]
-                        vals["MAE"].append(float(mae(recon, xb)))
-                        vals["MSE"].append(float(mse(recon, xb)))
+                        m_mae, m_mse, m_ssim = eval_metrics_fn(
+                            recon.astype(jnp.float32), x
+                        )
+                        vals["MAE"].append(float(m_mae))
+                        vals["MSE"].append(float(m_mse))
                         if ms_ssim_win is not None:
-                            vals["MS-SSIM"].append(
-                                float(ms_ssim_3d(recon, xb, win_size=ms_ssim_win))
-                            )
-                        last = (xb[0], recon[0])
+                            vals["MS-SSIM"].append(float(m_ssim))
+                        last = (
+                            batch["MRI"][0],
+                            np.asarray(jax.device_get(recon[0]), np.float32),
+                        )
                     return {k: float(np.mean(v)) for k, v in vals.items() if v}, last
 
                 val_metrics, last = run_eval(loaders["val"])
