@@ -46,6 +46,11 @@ __all__ = [
 ]
 
 
+# use the fully fused argmin+EMA-stats kernel inside quantize_ema
+# (see the note at its call site; off by default on measured v5e perf)
+FUSED_EMA_STATS = False
+
+
 class VQState(NamedTuple):
     """Functional EMA codebook state (all fp32).
 
@@ -168,6 +173,114 @@ def nearest_codeword_pallas(
     return idx[:n, 0]
 
 
+def _vq_argmin_stats_kernel(
+    n_real_ref, x_ref, wt_ref, wsq_ref, idx_ref, counts_ref, dw_ref
+):
+    """Distance → argmin → one-hot EMA statistics, all in VMEM.
+
+    counts/dw use constant-index output blocks, so they stay resident
+    across the sequential grid and accumulate per tile; padded rows
+    (global row ≥ n_real) are masked out of the statistics.
+    """
+    i = pl.program_id(0)
+    tile_n = x_ref.shape[0]
+    k_pad = wt_ref.shape[1]
+
+    scores = jnp.dot(
+        x_ref[:],
+        wt_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dist = wsq_ref[:] - 2.0 * scores
+    idx = jnp.argmin(dist, axis=1)
+    idx_ref[:] = idx[:, None].astype(jnp.int32)
+
+    # one-hot restricted to real rows
+    row_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)[:, 0] + i * tile_n
+    )
+    real = (row_global < n_real_ref[0]).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k_pad), 1)
+    onehot = (col == idx[:, None]).astype(jnp.float32) * real[:, None]
+
+    counts_partial = jnp.sum(onehot, axis=0, keepdims=True)  # (1, K')
+    dw_partial = jax.lax.dot_general(
+        onehot, x_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K', D')
+
+    @pl.when(i == 0)
+    def _():
+        counts_ref[:] = counts_partial
+        dw_ref[:] = dw_partial
+
+    @pl.when(i > 0)
+    def _():
+        counts_ref[:] = counts_ref[:] + counts_partial
+        dw_ref[:] = dw_ref[:] + dw_partial
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_n"))
+def nearest_codeword_stats_pallas(
+    x_flat: jax.Array,
+    codebook: jax.Array,
+    *,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Fused nearest-codeword + EMA statistics (SURVEY.md §2.9's
+    "distance+argmin+EMA-stats" kernel): returns
+    ``(indices (N,), counts (K,), dw (K, D))`` without materializing
+    the (N, K) one-hot in HBM."""
+    n, d = x_flat.shape
+    k = codebook.shape[0]
+    d_pad = _round_up(max(d, 128), 128)
+    k_pad = _round_up(max(k, 128), 128)
+    n_pad = _round_up(n, tile_n)
+
+    x = jnp.pad(jnp.asarray(x_flat, jnp.float32), ((0, n_pad - n), (0, d_pad - d)))
+    w = jnp.asarray(codebook, jnp.float32)
+    wt = jnp.pad(w, ((0, k_pad - k), (0, d_pad - d))).T
+    wsq = jnp.sum(wt * wt, axis=0, keepdims=True)
+    if k_pad > k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+        wsq = jnp.where(col < k, wsq, jnp.float32(np.inf))
+    n_real = jnp.asarray([n], jnp.int32)
+
+    grid = (n_pad // tile_n,)
+    idx, counts, dw = pl.pallas_call(
+        _vq_argmin_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, d_pad), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * d_pad * k_pad,
+            bytes_accessed=n_pad * d_pad * 4 + d_pad * k_pad * 4
+            + n_pad * 4 + k_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(n_real, x, wt, wsq)
+    return idx[:n, 0], counts[0, :k], dw[:k, :d]
+
+
 def _nearest_codeword_xla(x_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     x = jnp.asarray(x_flat, jnp.float32)
     w = jnp.asarray(codebook, jnp.float32)
@@ -245,13 +358,26 @@ def quantize_ema(
     flat = xf.reshape(-1, d)
     flat_ng = jax.lax.stop_gradient(flat)
 
-    indices = nearest_codeword(flat_ng, state.codebook, use_pallas=use_pallas)
+    if use_pallas is None:
+        use_pallas = _running_on_tpu()
+
+    if training and use_pallas and FUSED_EMA_STATS:
+        # fully fused kernel: indices + EMA statistics in one pass, no
+        # (N, K) one-hot in HBM.  Bit-exact vs the XLA stats path but
+        # measured ~2× slower at paper sizes on v5e (the dw accumulator
+        # re-writes 1 MB per tile while XLA's one-hot matmuls ride the
+        # MXU); kept for larger-N regimes where the HBM one-hot hurts.
+        indices, counts, dw = nearest_codeword_stats_pallas(flat_ng, state.codebook)
+    else:
+        indices = nearest_codeword(flat_ng, state.codebook, use_pallas=use_pallas)
+        counts = dw = None
     quantized = embed_indices(state, indices).reshape(xf.shape)
 
     if training:
-        onehot = jax.nn.one_hot(indices, k, dtype=jnp.float32)
-        counts = jnp.sum(onehot, axis=0)  # (K,)
-        dw = onehot.T @ flat_ng  # (K, D)
+        if counts is None:
+            onehot = jax.nn.one_hot(indices, k, dtype=jnp.float32)
+            counts = jnp.sum(onehot, axis=0)  # (K,)
+            dw = onehot.T @ flat_ng  # (K, D)
         if axis_name is not None:
             # explicit cross-replica reduce-before-update (shard_map
             # path); under pjit the global sums above already reduce

@@ -157,3 +157,21 @@ def test_ema_psum_invariance_under_sharding():
         np.asarray(sharded_state.codebook), np.asarray(ref_state.codebook),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_pallas_fused_stats_kernel_matches_oracle():
+    """The fused distance+argmin+EMA-stats kernel (interpret mode) must
+    match the one-hot matmul oracle incl. padded-row masking."""
+    from synthanatomy_tpu.ops.vq import nearest_codeword_stats_pallas
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 32)).astype(np.float32)  # non-multiple of tile
+    w = rng.normal(size=(200, 32)).astype(np.float32)
+    idx, counts, dw = nearest_codeword_stats_pallas(
+        jnp.asarray(x), jnp.asarray(w), tile_n=128, interpret=True
+    )
+    exp_idx = _np_nearest(x, w)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    onehot = np.eye(200, dtype=np.float32)[exp_idx]
+    np.testing.assert_allclose(np.asarray(counts), onehot.sum(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dw), onehot.T @ x, rtol=1e-4, atol=1e-4)
