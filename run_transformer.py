@@ -70,6 +70,7 @@ def run(
     ff_glu: bool = False,
     ff_chunks: int = 1,
     reversible: bool = False,
+    remat_attention: bool = True,
     emb_dropout: float = 0.0,
     ff_dropout: float = 0.0,
     attn_dropout: float = 0.0,

@@ -257,6 +257,7 @@ class TransformerConfig:
     ff_glu: bool = False
     ff_chunks: int = 1
     reversible: bool = False
+    remat_attention: bool = True  # TPU memory lever: remat attention only
     emb_dropout: float = 0.0
     ff_dropout: float = 0.0
     attn_dropout: float = 0.0

@@ -288,10 +288,16 @@ class PerformerBlock(nn.Module):
     scan_chunk: int
     no_projection: bool
     use_pallas_local: bool
+    remat_attention: bool
     dtype: Any
 
     def setup(self):
-        self.attn = PerformerAttention(
+        attn_cls = (
+            nn.remat(PerformerAttention, static_argnums=())
+            if self.remat_attention
+            else PerformerAttention
+        )
+        self.attn = attn_cls(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             local_heads=self.local_heads, local_window=self.local_window,
             nb_features=self.nb_features, causal=self.causal,
@@ -383,6 +389,9 @@ class Performer(nn.Module):
     no_projection: bool = False
     cross_attend: bool = False
     use_pallas_local: bool = False
+    # remat only the attention sub-blocks (cheaper than full
+    # `reversible` block remat when FF activations fit)
+    remat_attention: bool = False
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -501,7 +510,7 @@ class Performer(nn.Module):
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
                 self.scan_chunk, self.no_projection, self.use_pallas_local,
-                self.dtype, name=f"block_{i}",
+                self.remat_attention, self.dtype, name=f"block_{i}",
             )
             for i in range(self.depth)
         ]

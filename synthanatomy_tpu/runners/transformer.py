@@ -59,6 +59,7 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
         ff_glu=config.ff_glu,
         ff_chunks=config.ff_chunks,
         reversible=config.reversible,
+        remat_attention=config.remat_attention,
         emb_dropout=config.emb_dropout,
         ff_dropout=config.ff_dropout,
         attn_dropout=config.attn_dropout,
