@@ -183,22 +183,28 @@ class VolumeDataset:
     def _load(self, path: str):
         from synthanatomy_tpu.data.nifti import NiftiImage, closest_canonical
 
+        # fuse min-max normalization into the native decode pass when the
+        # transform chain starts with it (flips/crops/pads are
+        # normalization-invariant)
+        fuse_norm = self._native is not None and getattr(
+            self.transform, "normalize", False
+        )
         if self._native is not None:
-            vol, affine = self._native(path)
+            vol, affine = self._native(path, normalize=fuse_norm)
             img = NiftiImage(vol, affine)
         else:
             img = load_nifti(path, as_closest_canonical=False)
         if self.canonical:
             img = closest_canonical(img)
-        return img
+        return img, fuse_norm
 
     def get(self, index: int, epoch: int = 0) -> Dict[str, Any]:
         subj = self.subjects[index]
-        img = self._load(subj["MRI"])
+        img, pre_normalized = self._load(subj["MRI"])
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, index])
         )
-        vol, trace = self.transform(img.data, rng)
+        vol, trace = self.transform(img.data, rng, pre_normalized=pre_normalized)
         return {
             "MRI": vol[..., None],  # channels-last
             "trace": trace,

@@ -204,7 +204,11 @@ class VQVAETransform:
         return tuple(b - a for a, b in self.roi)
 
     def __call__(
-        self, x: np.ndarray, rng: Optional[np.random.Generator] = None
+        self,
+        x: np.ndarray,
+        rng: Optional[np.random.Generator] = None,
+        *,
+        pre_normalized: bool = False,
     ) -> Tuple[np.ndarray, Dict[str, bool]]:
         rng = rng or np.random.default_rng(0)
         trace: Dict[str, bool] = {}
@@ -212,7 +216,7 @@ class VQVAETransform:
         if x.ndim > 3:
             x = x.reshape(x.shape[:3])
 
-        if self.normalize:
+        if self.normalize and not pre_normalized:
             x = scale_intensity(x)
 
         if self.roi is not None:
