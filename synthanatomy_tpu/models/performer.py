@@ -213,11 +213,16 @@ class PerformerAttention(nn.Module):
             cache["S"] = jnp.zeros((batch, gh, m, self.dim_head), jnp.float32)
             cache["z"] = jnp.zeros((batch, gh, m), jnp.float32)
         if self.local_heads > 0:
+            # ring buffers in compute dtype: cache traffic dominates the
+            # local-head decode cost, fp32 numerics only needed for the
+            # FAVOR accumulators above
             cache["ck"] = jnp.zeros(
-                (batch, self.local_heads, self.local_window, self.dim_head), jnp.float32
+                (batch, self.local_heads, self.local_window, self.dim_head),
+                self.dtype,
             )
             cache["cv"] = jnp.zeros(
-                (batch, self.local_heads, self.local_window, self.dim_head), jnp.float32
+                (batch, self.local_heads, self.local_window, self.dim_head),
+                self.dtype,
             )
         return cache
 

@@ -162,12 +162,14 @@ def local_attention_step(
         q_t = apply_rotary(q_t.astype(jnp.float32)[..., None, :], sin_q, cos_q)[..., 0, :]
         k_t = apply_rotary(k_t.astype(jnp.float32)[..., None, :], sin_q, cos_q)[..., 0, :]
 
+    # ring buffers keep their own dtype (bf16 halves the per-step cache
+    # traffic that dominates local-head decode cost); score math in f32
     slot = jnp.mod(t, window)
     cache_k = jax.lax.dynamic_update_index_in_dim(
-        cache_k.astype(jnp.float32), k_t.astype(jnp.float32), slot, axis=2
+        cache_k, k_t.astype(cache_k.dtype), slot, axis=2
     )
     cache_v = jax.lax.dynamic_update_index_in_dim(
-        cache_v.astype(jnp.float32), v_t.astype(jnp.float32), slot, axis=2
+        cache_v, v_t.astype(cache_v.dtype), slot, axis=2
     )
 
     # absolute position of each ring slot given current write at `slot`
@@ -177,10 +179,15 @@ def local_attention_step(
     k_pos = t - (slot - slots) - jnp.where(slots > slot, window, 0)
     valid = (k_pos >= 0) & (k_pos > t - window) & (k_pos <= t)
 
-    scores = jnp.einsum("bhd,bhjd->bhj", q_t.astype(jnp.float32), cache_k) * scale
+    scores = (
+        jnp.einsum(
+            "bhd,bhjd->bhj", q_t.astype(jnp.float32), cache_k.astype(jnp.float32)
+        )
+        * scale
+    )
     scores = jnp.where(valid[None, None, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhj,bhjd->bhd", probs, cache_v)
+    out = jnp.einsum("bhj,bhjd->bhd", probs, cache_v.astype(jnp.float32))
     return out.astype(in_dtype), cache_k, cache_v
 
 
