@@ -120,6 +120,10 @@ class PerformerAttention(nn.Module):
     # shapes (unaligned 420-row tiles, d=64 half-lane); opt-in until the
     # tiled variant lands
     use_pallas_local: bool = False
+    # dtype of the FAVOR (S, z) decode accumulators: fp32 is exact;
+    # bf16 is ~20% faster sampling with ~1e-2 relative logit noise
+    # after 1400 accumulations (opt in for throughput-bound serving)
+    favor_cache_dtype: Any = jnp.float32
     dtype: Any = jnp.bfloat16
 
     @property
@@ -210,8 +214,10 @@ class PerformerAttention(nn.Module):
         m = self.dim_head if self.no_projection else self._nb_features
         cache: Dict[str, jax.Array] = {}
         if gh > 0:
-            cache["S"] = jnp.zeros((batch, gh, m, self.dim_head), jnp.float32)
-            cache["z"] = jnp.zeros((batch, gh, m), jnp.float32)
+            cache["S"] = jnp.zeros(
+                (batch, gh, m, self.dim_head), self.favor_cache_dtype
+            )
+            cache["z"] = jnp.zeros((batch, gh, m), self.favor_cache_dtype)
         if self.local_heads > 0:
             # ring buffers in compute dtype: cache traffic dominates the
             # local-head decode cost, fp32 numerics only needed for the
@@ -294,6 +300,7 @@ class PerformerBlock(nn.Module):
     no_projection: bool
     use_pallas_local: bool
     remat_attention: bool
+    favor_cache_dtype: Any
     dtype: Any
 
     def setup(self):
@@ -309,7 +316,8 @@ class PerformerBlock(nn.Module):
             generalized=self.generalized, qkv_bias=self.qkv_bias,
             out_bias=self.attn_out_bias, dropout=self.attn_dropout,
             scan_chunk=self.scan_chunk, no_projection=self.no_projection,
-            use_pallas_local=self.use_pallas_local, dtype=self.dtype,
+            use_pallas_local=self.use_pallas_local,
+            favor_cache_dtype=self.favor_cache_dtype, dtype=self.dtype,
             name="attn",
         )
         self.ff = FeedForward(
@@ -397,6 +405,7 @@ class Performer(nn.Module):
     # remat only the attention sub-blocks (cheaper than full
     # `reversible` block remat when FF activations fit)
     remat_attention: bool = False
+    favor_cache_dtype: Any = jnp.float32
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -515,7 +524,8 @@ class Performer(nn.Module):
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
                 self.scan_chunk, self.no_projection, self.use_pallas_local,
-                self.remat_attention, self.dtype, name=f"block_{i}",
+                self.remat_attention, self.favor_cache_dtype, self.dtype,
+                name=f"block_{i}",
             )
             for i in range(self.depth)
         ]

@@ -315,6 +315,9 @@ def favor_attention_step(
     re-run-the-full-forward loop (transformer.py:84-93).
     """
     S, z = state
+    state_dtype = S.dtype  # bf16 accumulators trade ~1e-2 logit noise
+    S = jnp.asarray(S, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
     if generalized:
         q_p = generalized_kernel_features(q_t[..., None, :], projection, kernel_fn=kernel_fn)[..., 0, :]
         k_p = generalized_kernel_features(k_t[..., None, :], projection, kernel_fn=kernel_fn)[..., 0, :]
@@ -336,4 +339,4 @@ def favor_attention_step(
     num = jnp.einsum("bhm,bhmd->bhd", q_p, S)
     den = jnp.maximum(jnp.einsum("bhm,bhm->bh", q_p, z), 1e-12)
     out = num / den[..., None]
-    return out.astype(v_t.dtype), (S, z)
+    return out.astype(v_t.dtype), (S.astype(state_dtype), z.astype(state_dtype))
