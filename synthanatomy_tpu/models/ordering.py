@@ -8,8 +8,10 @@ the vendored generalized-Hilbert generators ``gilbert/gilbert2d.py`` /
 ``gilbert/gilbert3d.py``.
 
 Supported curves: ``raster_scan``, ``s_curve`` (serpentine),
-``random``, ``hilbert`` (generalized Hilbert / "gilbert" curve for
-arbitrary cuboids).  Supported template transformations (applied to the
+``random``, ``hilbert_curve`` (generalized Hilbert / "gilbert" curve
+for arbitrary cuboids; ``hilbert`` is accepted as an alias).  All
+permutations are bit-identical to the reference's (pinned by golden
+hashes in ``tests/test_ordering_parity.py``).  Supported template transformations (applied to the
 index template *before* linearization, in a configurable order):
 ``transpose``, ``rotate_90``, ``reflect``.
 """
@@ -28,7 +30,10 @@ __all__ = [
     "TRANSFORMATION_TYPES",
 ]
 
-ORDERING_TYPES = ("raster_scan", "s_curve", "random", "hilbert")
+ORDERING_TYPES = ("raster_scan", "s_curve", "random", "hilbert_curve")
+# The reference CLI enum value is "hilbert_curve"
+# (img2seq_ordering.py:15); "hilbert" is kept as an accepted alias.
+_ORDERING_ALIASES = {"hilbert": "hilbert_curve"}
 TRANSFORMATION_TYPES = ("rotate_90", "transpose", "reflect")
 
 
@@ -254,9 +259,10 @@ class Ordering:
         reflected_spatial_dims: Sequence[bool] = (),
         transpositions_axes: Sequence[Tuple[int, ...]] = (),
         rot90_axes: Sequence[Tuple[int, ...]] = (),
-        transformation_order: Sequence[str] = ("rotate_90", "transpose", "reflect"),
+        transformation_order: Sequence[str] = ("transpose", "rotate_90", "reflect"),
         seed: int = 0,
     ):
+        ordering_type = _ORDERING_ALIASES.get(ordering_type, ordering_type)
         if ordering_type not in ORDERING_TYPES:
             raise ValueError(
                 f"ordering_type must be one of {ORDERING_TYPES}, got {ordering_type!r}"
@@ -296,7 +302,19 @@ class Ordering:
         for name in transformation_order:
             if name == "transpose":
                 for axes in transpositions_axes:
-                    template = np.swapaxes(template, *axes)
+                    # Reference semantics (img2seq_ordering.py:107-111):
+                    # np.transpose with a FULL axes permutation (the paper
+                    # config passes ((2,0,1),)).  A 2-tuple on a 3D grid is
+                    # additionally accepted as an axis swap.
+                    if len(axes) == template.ndim:
+                        template = np.transpose(template, axes=axes)
+                    elif len(axes) == 2:
+                        template = np.swapaxes(template, *axes)
+                    else:
+                        raise ValueError(
+                            f"transposition axes {axes} incompatible with "
+                            f"template of rank {template.ndim}"
+                        )
             elif name == "rotate_90":
                 for axes in rot90_axes:
                     template = np.rot90(template, axes=axes)
@@ -323,7 +341,7 @@ class Ordering:
             flat = template.reshape(-1).copy()
             rng.shuffle(flat)
             return flat
-        # hilbert
+        # hilbert_curve
         shape = template.shape
         if len(shape) == 2:
             coords = gilbert2d(shape[0], shape[1])
@@ -333,27 +351,25 @@ class Ordering:
 
     @staticmethod
     def _s_curve(template: np.ndarray) -> np.ndarray:
-        """Serpentine scan: raster scan whose innermost axes reverse
-        direction on alternating rows/slabs so consecutive elements stay
-        spatially adjacent."""
+        """Serpentine scan with the reference's exact traversal
+        (``img2seq_ordering.py:158-177``): the column axis reverses on
+        odd *rows*, and the depth axis reverses on odd *column values*
+        (the actual column index, not the iteration position — so after
+        a reversed column sweep the depth direction is keyed to ``c``,
+        which is what makes trained-checkpoint orderings bit-compatible)."""
         t = template
         if t.ndim == 2:
-            rows = [t[i, ::-1] if i % 2 else t[i, :] for i in range(t.shape[0])]
+            rows = [t[r, :] if r % 2 == 0 else t[r, ::-1] for r in range(t.shape[0])]
             return np.concatenate(rows)
         out = []
-        flip_rows = False
-        for i in range(t.shape[0]):
-            plane = t[i]
-            if flip_rows:
-                plane = plane[::-1, :]
-            row_rev = False
-            for j in range(plane.shape[0]):
-                row = plane[j, ::-1] if row_rev else plane[j, :]
-                out.append(row)
-                row_rev = not row_rev
-            # keep continuity into the next slab: the last row direction
-            # alternates per slab
-            flip_rows = not flip_rows
+        for r in range(t.shape[0]):
+            cols = (
+                range(t.shape[1])
+                if r % 2 == 0
+                else range(t.shape[1] - 1, -1, -1)
+            )
+            for c in cols:
+                out.append(t[r, c, :] if c % 2 == 0 else t[r, c, ::-1])
         return np.concatenate(out)
 
     # -- public API ------------------------------------------------------

@@ -69,13 +69,24 @@ def test_raster_is_identity_without_transforms():
     assert np.array_equal(o.get_sequence_ordering(), np.arange(60))
 
 
-def test_s_curve_adjacency_3d():
+def test_s_curve_adjacency():
+    # 2D s-curve is fully unit-step adjacent.
+    o2 = Ordering("s_curve", 2, (6, 9))
+    c2 = np.stack(np.unravel_index(o2.get_sequence_ordering(), (6, 9)), axis=-1)
+    assert (np.abs(np.diff(c2, axis=0)).sum(axis=1) == 1).all()
+    # 3D (reference semantics): unit-step within each (row, col) sweep;
+    # row→row transitions jump the depth axis because the depth
+    # direction is keyed to the column *value* parity
+    # (img2seq_ordering.py:166-168), so only assert adjacency away from
+    # the row boundaries.
     dims = (3, 4, 5)
     o = Ordering("s_curve", 3, dims)
-    perm = o.get_sequence_ordering()
-    coords = np.stack(np.unravel_index(perm, dims), axis=-1)
+    coords = np.stack(np.unravel_index(o.get_sequence_ordering(), dims), axis=-1)
     steps = np.abs(np.diff(coords, axis=0)).sum(axis=1)
-    assert (steps == 1).all()
+    row_len = dims[1] * dims[2]
+    within = np.ones(len(steps), bool)
+    within[row_len - 1 :: row_len] = False
+    assert (steps[within] == 1).all()
 
 
 def test_hilbert_adjacency_after_template_transform():
