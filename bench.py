@@ -5,8 +5,11 @@ Config 4 of BASELINE.json: Performer 24 layers / d512 / 16 heads
 the paper's transformer over the 4-level VQ-VAE latents
 (reference README.md:106-137).
 
-- measured: KV/prefix-state-cached incremental sampling (one compiled
-  ``lax.scan``), batch 8, on the attached TPU chip;
+- measured: fused-kernel incremental sampling — the whole 24-layer
+  decode step is ONE Pallas call per token (int8 weight streaming,
+  bf16 FAVOR accumulators, flat ring-buffer layout; see
+  synthanatomy_tpu/ops/fused_decode.py), batch 8, on the attached TPU
+  chip;
 - baseline: the reference's sampling algorithm — a full forward over
   the (padded) sequence per generated token with NO cache
   (reference src/networks/transformers/transformer.py:84-93) — run on
@@ -52,8 +55,10 @@ def main() -> None:
         )
     variables = jax.device_put(variables, jax.devices()[0])
 
-    # ---- fast cached sampler ------------------------------------------
-    sampler = make_sampler(model, ordering, batch=BATCH, temperature=1.0)
+    # ---- fast fused sampler -------------------------------------------
+    sampler = make_sampler(
+        model, ordering, batch=BATCH, temperature=1.0, fused="auto"
+    )
     np.asarray(sampler(variables, jax.random.key(2)))  # compile
     reps = 3
     t0 = time.perf_counter()

@@ -33,6 +33,7 @@ __all__ = [
     "top_k_logits",
     "sample_next_index",
     "sample",
+    "sample_fused",
     "sample_naive",
     "make_sampler",
 ]
@@ -131,6 +132,141 @@ def sample(
     return _grid_from_sequence(tokens, ordering)
 
 
+def sample_fused(
+    model,
+    variables,
+    ordering: Ordering,
+    *,
+    batch: int = 1,
+    conditionings: Optional[Sequence[jax.Array]] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    do_sample: bool = True,
+    rng: Optional[jax.Array] = None,
+    bos_token: Optional[int] = None,
+    state_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused-kernel sampling: the whole depth-L decode step runs as ONE
+    Pallas call per token (ops/fused_decode.py) with int8 weight
+    streaming and bf16 FAVOR accumulators — the production serving path.
+
+    Numerics: int8 per-channel weights + bf16 state perturb logits by
+    ~2% relative; the exact path remains :func:`sample`.  Config gating
+    via ``supports_fused_decode``; callers should use
+    :func:`make_sampler` (``fused="auto"``) rather than calling this
+    directly.
+    """
+    from synthanatomy_tpu.ops.fused_decode import (
+        FusedDecodeConfig,
+        init_fused_state,
+        make_fused_decode_step,
+        pack_fused_params,
+        strip_reference_weights,
+        update_rings,
+    )
+
+    seq_len = int(np.prod(ordering.dimensions))
+    vocab = model.num_tokens
+    bos = vocab - 1 if bos_token is None else bos_token
+    if rng is None:
+        rng = jax.random.key(0)
+
+    cfg = FusedDecodeConfig(
+        depth=model.depth, batch=batch, dim=model.dim, heads=model.heads,
+        dim_head=model.dim_head, local_heads=model.local_attn_heads,
+        local_window=model.local_window_size,
+        nb_features=model.nb_features or _default_nb_features(model.dim_head),
+        ff_mult=model.ff_mult, quantize=True, state_dtype=state_dtype,
+    )
+    interpret = jax.default_backend() != "tpu"
+    step = make_fused_decode_step(cfg, interpret=interpret)
+    params = strip_reference_weights(pack_fused_params(model, variables))
+
+    p = variables["params"]
+    emb_t = jnp.asarray(p["token_emb"]["embedding"]).astype(jnp.bfloat16)
+    fn_s = jnp.asarray(p["final_norm"]["scale"], jnp.float32)
+    fn_b = jnp.asarray(p["final_norm"]["bias"], jnp.float32)
+    if model.tie_embed:
+        head_w = emb_t.T
+        head_b = jnp.zeros((vocab,), jnp.float32)
+    else:
+        head_w = jnp.asarray(p["to_out"]["kernel"]).astype(jnp.bfloat16)
+        head_b = jnp.asarray(p["to_out"]["bias"], jnp.float32)
+
+    # combined positional (+ spatial, BOS-right-shifted) table, (L, dim)
+    def _tables(m, n):
+        pos = m._pos_emb(n)[0].astype(jnp.float32)
+        sp = m._spatial_pos_sum(n)
+        if sp is not None:
+            pos = pos + sp[0].astype(jnp.float32)
+        return pos
+
+    pos_table = model.apply(variables, seq_len, method=_tables)
+
+    cond_sum = None
+    if conditionings is not None and model.conditioning_type == "bos_replacement":
+        cond_sum = jnp.zeros((batch, model.dim), jnp.float32)
+        for idx in range(len(model.conditioning_num_tokens)):
+            table = jnp.asarray(
+                p[f"conditioning_emb_{idx}"]["embedding"], jnp.float32
+            )
+            cond_sum = cond_sum + table[
+                jnp.asarray(conditionings[idx]).reshape(batch)
+            ]
+
+    state = init_fused_state(cfg)
+    step_rngs = jax.random.split(rng, seq_len)
+
+    def body(carry, inp):
+        tok, state = carry
+        t, srng = inp
+        emb = emb_t[tok].astype(jnp.float32)
+        if cond_sum is not None:
+            emb = jnp.where(t == 0, cond_sum, emb)
+        h = emb + jax.lax.dynamic_slice_in_dim(pos_table, t, 1, 0)
+        h, state, k_all, v_all = step(params, state, h, t)
+        state = update_rings(state, k_all, v_all, t, cfg)
+        mu = jnp.mean(h, -1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mu), -1, keepdims=True)
+        hn = (h - mu) * jax.lax.rsqrt(var + 1e-6) * fn_s + fn_b
+        logits = (
+            jnp.dot(
+                hn.astype(jnp.bfloat16), head_w,
+                preferred_element_type=jnp.float32,
+            )
+            + head_b
+        )
+        logits = logits.at[..., bos].set(-jnp.inf)
+        nxt = sample_next_index(
+            logits, temperature=temperature, top_k=top_k, sample=do_sample,
+            rng=srng,
+        ).astype(jnp.int32)
+        return (nxt, state), nxt
+
+    (_, _), tokens = jax.lax.scan(
+        body,
+        (jnp.full((batch,), bos, jnp.int32), state),
+        (jnp.arange(seq_len, dtype=jnp.int32), step_rngs),
+    )
+    return _grid_from_sequence(tokens.T.astype(jnp.int32), ordering)
+
+
+def _default_nb_features(dim_head: int) -> int:
+    from synthanatomy_tpu.ops.favor import default_nb_features
+
+    return default_nb_features(dim_head)
+
+
+def _fused_ok(model, with_conditionings: bool) -> bool:
+    from synthanatomy_tpu.ops.fused_decode import supports_fused_decode
+
+    if not supports_fused_decode(model):
+        return False
+    if with_conditionings and model.conditioning_type != "bos_replacement":
+        return False  # 'prepending' needs prime_cache — general path
+    return True
+
+
 def make_sampler(
     model,
     ordering: Ordering,
@@ -141,6 +277,7 @@ def make_sampler(
     do_sample: bool = True,
     bos_token: Optional[int] = None,
     with_conditionings: bool = False,
+    fused="auto",
 ):
     """Return a **jitted** ``sampler(variables, rng[, conditionings])``.
 
@@ -148,7 +285,40 @@ def make_sampler(
     (seconds of Python overhead); production sampling must go through
     this factory so the trace is cached and steady-state cost is pure
     device execution.
+
+    ``fused`` selects the decode engine: ``True``/``"auto"`` uses the
+    fused Pallas step (int8 weights + bf16 FAVOR state — ~2.3× faster,
+    ~2% logit perturbation) when the model config supports it;
+    ``False`` forces the exact general path.
     """
+    use_fused = (
+        _fused_ok(model, with_conditionings) if fused == "auto" else bool(fused)
+    )
+
+    if use_fused:
+
+        if with_conditionings:
+
+            @jax.jit
+            def sampler(variables, rng, conditionings):
+                return sample_fused(
+                    model, variables, ordering, batch=batch,
+                    conditionings=conditionings, temperature=temperature,
+                    top_k=top_k, do_sample=do_sample, rng=rng,
+                    bos_token=bos_token,
+                )
+
+        else:
+
+            @jax.jit
+            def sampler(variables, rng):
+                return sample_fused(
+                    model, variables, ordering, batch=batch,
+                    temperature=temperature, top_k=top_k,
+                    do_sample=do_sample, rng=rng, bos_token=bos_token,
+                )
+
+        return sampler
 
     if with_conditionings:
 
