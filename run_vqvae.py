@@ -25,6 +25,7 @@ def run(
     experiment_name: str = "",
     mode: str = "training",
     no_augmented_extractions: int = 0,
+    decoding_affine: Optional[str] = None,
     # Hardware parameters
     device: int = 0,
     distributed_port: int = TORCH_DISTRIBUTED_DEFAULT_PORT,

@@ -60,6 +60,10 @@ class VQVAEConfig:
     experiment_name: str = ""
     mode: str = "training"
     no_augmented_extractions: int = 0
+    # decoding mode: optional NIfTI whose affine is stamped on decoded
+    # samples (latent .npy inputs carry no orientation; the reference
+    # writes identity here — this flag restores patient space)
+    decoding_affine: Optional[str] = None
     # --- hardware
     device: int = 0
     distributed_port: int = 29500

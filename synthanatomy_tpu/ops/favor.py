@@ -266,9 +266,15 @@ def favor_attention_sequence_parallel(
     :func:`favor_attention` to fp tolerance.
     """
     in_dtype = v.dtype
-    if generalized or projection is None:
+    if generalized:
         q_p = generalized_kernel_features(q, projection, kernel_fn=kernel_fn)
         k_p = generalized_kernel_features(k, projection, kernel_fn=kernel_fn)
+    elif projection is None:
+        # no_projection mode — same feature maps as the causal batch
+        # path in favor_attention (:227-231): q softmaxed over features,
+        # k exponentiated
+        q_p = jax.nn.softmax(jnp.asarray(q, jnp.float32), axis=-1)
+        k_p = jnp.exp(jnp.asarray(k, jnp.float32))
     else:
         q_p = softmax_kernel_features(q, projection, is_query=True)
         k_p = softmax_kernel_features(

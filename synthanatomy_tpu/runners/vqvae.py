@@ -389,13 +389,36 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
 
     model = build_vqvae(config)
 
+    # The reference's inference engine also loads the discriminator when
+    # adversarial training was on, scores the reconstruction/sample as
+    # real and writes the *elementwise* criterion map per sample as
+    # ``*_adversarial_loss.npy`` (run_vqvae.py:516-531; criterion
+    # functions src/losses/adversarial/adversarial.py:77-105).
+    d_model = None
+    criterion = None
+    if config.adversarial_component:
+        from synthanatomy_tpu.losses.adversarial import get_criterion
+        from synthanatomy_tpu.models.discriminator import BaselineDiscriminator
+
+        d_model = BaselineDiscriminator(
+            dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        )
+        criterion = get_criterion(config.generator_loss)
+
+    def _adv_maps(state, recon):
+        dv = {"params": state.d_params, "batch_stats": state.d_batch_stats}
+        logits = d_model.apply(dv, recon, training=False)
+        return criterion(jnp.asarray(logits, jnp.float32), True)
+
     written: List[str] = []
 
     if config.mode == "extracting":
         loaders = _make_loaders(config, "extracting", 0, 1)
         first = next(iter(loaders["train"].epoch(0)))
         input_shape = first["MRI"].shape[1:4]
-        state, _, _ = create_vqvae_train_state(model, rng, input_shape)
+        state, _, _ = create_vqvae_train_state(
+            model, rng, input_shape, d_model=d_model
+        )
         if ckpt_path:
             state = C.load_checkpoint(ckpt_path, state)
             logger.info(f"Loaded checkpoint {ckpt_path}")
@@ -403,14 +426,15 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         variables = {"params": state.g_params, "vq": state.vq}
 
         @jax.jit
-        def extract(variables, x):
+        def extract(variables, state, x):
             idx = model.apply(variables, x, method=model.index_quantize)
             recon = model.apply(variables, idx, method=model.decode_samples)
-            return idx[0], recon
+            adv = _adv_maps(state, recon) if d_model is not None else None
+            return idx[0], recon, adv
 
         all_traces, all_paths = [], []
         for batch in loaders["train"].epoch(0):
-            idx, recon = extract(variables, jnp.asarray(batch["MRI"]))
+            idx, recon, adv = extract(variables, state, jnp.asarray(batch["MRI"]))
             idx = np.asarray(jax.device_get(idx))
             recon = np.asarray(jax.device_get(recon), np.float32)
             written += save_npy_outputs(
@@ -418,6 +442,12 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
                 postfix="quantization_0", dtype=np.uint16,
                 augmentation_ids=batch["augmentation_ids"],
             )
+            if adv is not None:
+                written += save_npy_outputs(
+                    dirs["outputs_directory"], np.asarray(jax.device_get(adv), np.float32),
+                    batch["paths"], postfix="adversarial_loss", dtype=np.float32,
+                    augmentation_ids=batch["augmentation_ids"],
+                )
             for b, src in enumerate(batch["paths"]):
                 base = src.split("/")[-1].replace(".nii.gz", "").replace(".nii", "")
                 out_nii = f"{dirs['outputs_directory']}/{base}_reconstruction.nii.gz"
@@ -443,24 +473,50 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         # input shape back-computed from total stride
         stride = int(np.prod([p[1] for p in config.downsample_parameters]))
         input_shape = tuple(int(s) * stride for s in latent_shape)
-        state, _, _ = create_vqvae_train_state(model, rng, input_shape)
+        state, _, _ = create_vqvae_train_state(
+            model, rng, input_shape, d_model=d_model
+        )
         if ckpt_path:
             state = C.load_checkpoint(ckpt_path, state)
         variables = {"params": state.g_params, "vq": state.vq}
 
+        # patient-space orientation for decoded samples: latent .npy
+        # files carry no affine (the reference also writes identity
+        # here); ``decoding_affine`` names a NIfTI whose affine is
+        # stamped on every decoded sample instead
+        affine = None
+        if config.decoding_affine:
+            from synthanatomy_tpu.data.nifti import load_nifti
+
+            affine = np.asarray(
+                load_nifti(
+                    config.decoding_affine, as_closest_canonical=False
+                ).affine
+            )
+            logger.info(f"Using affine from {config.decoding_affine}")
+
         @jax.jit
-        def decode(variables, idx):
-            return model.apply(variables, [idx], method=model.decode_samples)
+        def decode(variables, state, idx):
+            recon = model.apply(variables, [idx], method=model.decode_samples)
+            adv = _adv_maps(state, recon) if d_model is not None else None
+            return recon, adv
 
         for batch in loader.epoch(0):
-            recon = np.asarray(
-                jax.device_get(decode(variables, jnp.asarray(batch["latents"], jnp.int32))),
-                np.float32,
+            recon, adv = decode(
+                variables, state, jnp.asarray(batch["latents"], jnp.int32)
             )
+            recon = np.asarray(jax.device_get(recon), np.float32)
+            if adv is not None:
+                written += save_npy_outputs(
+                    dirs["outputs_directory"],
+                    np.asarray(jax.device_get(adv), np.float32),
+                    batch["paths"], postfix="adversarial_loss",
+                    dtype=np.float32,
+                )
             for b, src in enumerate(batch["paths"]):
                 base = src.split("/")[-1].replace(".npy", "")
                 out_nii = f"{dirs['outputs_directory']}/{base}_sample.nii.gz"
-                save_nifti(out_nii, recon[b, ..., 0])
+                save_nifti(out_nii, recon[b, ..., 0], affine)
                 written.append(out_nii)
     else:
         raise ValueError(f"inference() got mode {config.mode!r}")

@@ -268,8 +268,74 @@ def test_ms_ssim_3d():
     assert float(ms_ssim_3d(x, noisy, win_size=3)) < 0.9
 
 
-def test_ms_ssim_matches_pytorch_msssim_if_available():
-    pytest.importorskip("pytorch_msssim")
+def _oracle_gaussian(win, sigma=1.5):
+    c = np.arange(win, dtype=np.float64) - win // 2
+    g = np.exp(-(c**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _oracle_blur(x, k):
+    """Separable 'valid' correlation over D, H, W of (B, D, H, W, C) —
+    independent NumPy path (np.convolve per axis)."""
+    for ax in (1, 2, 3):
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, k[::-1], mode="valid"), ax, x
+        )
+    return x
+
+
+def _oracle_ssim_parts(x, y, win, k1=0.01, k2=0.03, data_range=1.0):
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    k = _oracle_gaussian(win)
+    mx, my = _oracle_blur(x, k), _oracle_blur(y, k)
+    sxx = _oracle_blur(x * x, k) - mx * mx
+    syy = _oracle_blur(y * y, k) - my * my
+    sxy = _oracle_blur(x * y, k) - mx * my
+    cs = (2 * sxy + c2) / (sxx + syy + c2)
+    ssim = ((2 * mx * my + c1) / (mx * mx + my * my + c1)) * cs
+    return ssim.mean(axis=(1, 2, 3, 4)), cs.mean(axis=(1, 2, 3, 4))
+
+
+def test_ms_ssim_matches_numpy_oracle():
+    """Pin the MS-SSIM pyramid against an independent NumPy
+    implementation of the pytorch_msssim algorithm (separable Gaussian
+    window σ=1.5, K=(0.01, 0.03), relu-clamped cs, 2× avg-pool, the
+    standard 5 weights) — the package itself is not installable in this
+    environment, so the published algorithm is the oracle."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(1, 48, 48, 48, 1)).astype(np.float64)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1)
+
+    weights = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+    xs, ys = x, y
+    mcs, val = [], None
+    for i in range(5):
+        s, cs = _oracle_ssim_parts(xs, ys, win=3)
+        if i < 4:
+            mcs.append(np.maximum(cs, 0))
+            xs = _oracle_pool(xs)
+            ys = _oracle_pool(ys)
+        else:
+            val = np.maximum(s, 0)
+    expect = val ** weights[-1]
+    for w, cs in zip(weights[:-1], mcs):
+        expect = expect * cs**w
+    expect = expect.mean()
+
+    got = float(ms_ssim_3d(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32), win_size=3))
+    assert got == pytest.approx(float(expect), abs=2e-4)
+
+    # single-scale too
+    s_expect = _oracle_ssim_parts(x, y, win=7)[0].mean()
+    s_got = float(ssim_3d(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32), win_size=7))
+    assert s_got == pytest.approx(float(s_expect), abs=2e-4)
+
+
+def _oracle_pool(x):
+    b, d, h, w, c = x.shape
+    return x[:, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2].reshape(
+        b, d // 2, 2, h // 2, 2, w // 2, 2, c
+    ).mean(axis=(2, 4, 6))
 
 
 def test_get_ms_ssim_window_rule():

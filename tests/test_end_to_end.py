@@ -76,12 +76,17 @@ def test_full_pipeline(project):
     # ---- stage 1: extracting -----------------------------------------
     flags_ex = dict(flags)
     flags_ex["mode"] = "extracting"
-    flags_ex["adversarial_component"] = False
     out = run_vqvae(**flags_ex)
     outputs_dir = os.path.join(project["root"], "e2e", "baseline_vqvae", "outputs")
     latents = [f for f in os.listdir(outputs_dir) if f.endswith("_quantization_0.npy")]
     recons = [f for f in os.listdir(outputs_dir) if f.endswith("_reconstruction.nii.gz")]
     assert len(latents) == 4 and len(recons) == 4
+    # adversarial training was on → per-sample elementwise criterion
+    # maps are saved alongside (reference run_vqvae.py:516-531)
+    adv = [f for f in os.listdir(outputs_dir) if f.endswith("_adversarial_loss.npy")]
+    assert len(adv) == 4
+    adv0 = np.load(os.path.join(outputs_dir, adv[0]))
+    assert adv0.dtype == np.float32 and (adv0 >= 0).all()
     lat = np.load(os.path.join(outputs_dir, latents[0]))
     assert lat.dtype == np.uint16
     assert lat.shape == (4, 4, 4)
@@ -165,7 +170,8 @@ def test_full_pipeline(project):
     flags_dec = dict(flags)
     flags_dec["mode"] = "decoding"
     flags_dec["training_subjects"] = samp_dir
-    flags_dec["adversarial_component"] = False
+    # stamp patient-space orientation from a source scan
+    flags_dec["decoding_affine"] = os.path.join(project["data"], "subj0.nii.gz")
     run_vqvae(**flags_dec)
     decoded = [
         f for f in os.listdir(outputs_dir) if f.endswith("_sample.nii.gz")
@@ -174,3 +180,14 @@ def test_full_pipeline(project):
     img = load_nifti(os.path.join(outputs_dir, decoded[0]), as_closest_canonical=False)
     assert img.data.shape == (16, 16, 16)
     assert np.isfinite(img.data).all()
+    src_aff = load_nifti(
+        os.path.join(project["data"], "subj0.nii.gz"), as_closest_canonical=False
+    ).affine
+    out_aff = load_nifti(
+        os.path.join(outputs_dir, decoded[0]), as_closest_canonical=False
+    ).affine
+    np.testing.assert_allclose(out_aff, src_aff)
+    # decoding with adversarial on also writes criterion maps:
+    # 4 from extracting + 4 from decoding
+    all_adv = [f for f in os.listdir(outputs_dir) if f.endswith("_adversarial_loss.npy")]
+    assert len(all_adv) == 8

@@ -157,6 +157,35 @@ def test_favor_sequence_parallel_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_favor_sequence_parallel_no_projection_matches_single_device():
+    """no_projection mode must use the same feature maps (softmax-q /
+    exp-k) in the sequence-parallel path as in the batch path."""
+    from jax.experimental.shard_map import shard_map
+
+    from synthanatomy_tpu.ops.favor import (
+        favor_attention,
+        favor_attention_sequence_parallel,
+    )
+
+    b, h, n, d = 2, 2, 64, 8
+    q, k, v = jax.random.normal(jax.random.key(2), (3, b, h, n, d))
+
+    ref = np.asarray(favor_attention(q, k, v, None, causal=True, chunk=8))
+
+    mesh = make_mesh((4,), ("seq",), devices=jax.devices()[:4])
+    spec = P(None, None, "seq", None)
+    sp_fn = shard_map(
+        lambda q, k, v: favor_attention_sequence_parallel(
+            q, k, v, None, axis_name="seq", chunk=8
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    out = np.asarray(jax.jit(sp_fn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_zero1_optimizer_sharding_matches_replicated():
     """ZeRO-1 sharded optimizer state must produce the same update as
     fully replicated state."""

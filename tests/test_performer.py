@@ -158,6 +158,46 @@ def test_prepending_incremental_matches_batch():
     np.testing.assert_allclose(inc, batch_logits, rtol=8e-2, atol=8e-2)
 
 
+def test_incremental_decode_matches_batch_fp32_tight():
+    """fp32 tier: the zero-key-stabilizer design makes incremental and
+    batch paths the SAME math, so in fp32 they must agree to fp rounding
+    (~1e-5), not just bf16 tolerance — this is what pins the sampling
+    speedup's correctness story."""
+    model = _tiny_model()  # fp32 everywhere (dtype + caches)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 16, (2, 20)), jnp.int32)
+    variables = model.init(jax.random.key(0), x)
+
+    batch_logits = np.asarray(model.apply(variables, x))
+    cache = model.apply(variables, 2, method=model.init_cache)
+    inc = []
+    for t in range(20):
+        logits, cache = model.apply(
+            variables, x[:, t], cache, jnp.asarray(t, jnp.int32), None,
+            method=model.decode_step,
+        )
+        inc.append(np.asarray(logits))
+    inc = np.stack(inc, axis=1)
+    np.testing.assert_allclose(inc, batch_logits, rtol=2e-5, atol=2e-5)
+
+
+def test_fast_greedy_sampling_exact_fp32(ordering):
+    """fp32 tier: greedy fast sampling must equal the naive reference
+    sampler token-for-token (no tolerance)."""
+    model = _tiny_model()
+    x = jnp.zeros((1, 28), jnp.int32)
+    variables = model.init(jax.random.key(3), x)
+    fast = np.asarray(
+        sample(model, variables, ordering, batch=2, do_sample=False,
+               rng=jax.random.key(1))
+    )
+    naive = np.asarray(
+        sample_naive(model, variables, ordering, batch=2, do_sample=False,
+                     rng=jax.random.key(1))
+    )
+    np.testing.assert_array_equal(fast, naive)
+
+
 def test_top_k_logits():
     logits = jnp.asarray([[1.0, 3.0, 2.0, 0.5]])
     out = np.asarray(top_k_logits(logits, 2))
