@@ -44,6 +44,7 @@ def run(
     augmentation_strength: float = 0,
     # Loss parameters
     loss: str = "jukebox_perceptual",
+    lpips_weights: Optional[str] = None,
     adversarial_component: bool = True,
     # Adversarial loss parameters
     finetune_adversarial_component: Optional[Tuple[float, float]] = None,

@@ -82,6 +82,10 @@ class VQVAEConfig:
     augmentation_strength: float = 0.0
     # --- loss
     loss: str = "jukebox_perceptual"
+    # pretrained LPIPS weights (.npz from tools/convert_lpips.py /
+    # tools/fetch_lpips_weights.py); None → fixed-random features with a
+    # loud warning (this environment has no egress to fetch them)
+    lpips_weights: Optional[str] = None
     adversarial_component: bool = True
     # --- adversarial
     finetune_adversarial_component: Optional[Tuple[float, float]] = None

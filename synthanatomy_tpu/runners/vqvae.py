@@ -105,6 +105,41 @@ def _make_loaders(config: VQVAEConfig, mode: str, shard_id: int, num_shards: int
     return loaders
 
 
+def resolve_lpips_params(config: VQVAEConfig, logger):
+    """Pretrained LPIPS when ``--lpips_weights`` is given (net kind
+    validated against the loss), fixed-random features with a loud
+    warning otherwise.  Reference behaviour being matched: the
+    perceptual losses construct the pip package's pretrained nets
+    (src/losses/vqvae/vqvae.py:836-869, 1656)."""
+    import jax
+
+    from synthanatomy_tpu.losses import vqvae as vql
+    from synthanatomy_tpu.losses.lpips import init_lpips_params, load_lpips_npz
+
+    if not vql.loss_needs_lpips(config.loss):
+        return None
+    net = vql.lpips_net_for_loss(config.loss)
+    if config.lpips_weights:
+        lpips_params = load_lpips_npz(config.lpips_weights)
+        if lpips_params.kind != net:
+            raise ValueError(
+                f"lpips_weights are for {lpips_params.kind!r} but loss "
+                f"{config.loss!r} needs {net!r}"
+            )
+        logger.info(
+            f"Loaded pretrained LPIPS ({net}) from {config.lpips_weights}"
+        )
+        return lpips_params
+    lpips_params = init_lpips_params(jax.random.key(0), net)
+    logger.warning(
+        "LPIPS is running with FIXED RANDOM features — perceptual loss "
+        "values will NOT match the paper's pretrained "
+        f"{net}Net LPIPS. Provide --lpips_weights=<path.npz> "
+        "(see tools/fetch_lpips_weights.py) for exact behaviour."
+    )
+    return lpips_params
+
+
 def _scheduled(config: VQVAEConfig, epoch: int, epoch_length: int) -> Dict[str, Any]:
     from synthanatomy_tpu.train import schedulers as S
 
@@ -198,11 +233,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
         state = C.load_checkpoint(ckpt_path, state)
         logger.info(f"Restored checkpoint from {ckpt_path}")
 
-    lpips_params = None
-    if vql.loss_needs_lpips(config.loss):
-        lpips_params = init_lpips_params(
-            jax.random.key(0), vql.lpips_net_for_loss(config.loss)
-        )
+    lpips_params = resolve_lpips_params(config, logger)
 
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
 

@@ -89,3 +89,43 @@ def test_squeeze_conversion_structure(tmp_path):
     x = np.random.default_rng(3).uniform(size=(1, 64, 64, 3)).astype(np.float32)
     d = lpips_distance(params, x, x)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_lpips_weights_flag_wired_through_runner(tmp_path):
+    """--lpips_weights must be loaded by the training runner (and a
+    net-kind mismatch must raise) — the wiring the paper-default
+    jukebox_perceptual loss depends on for exact LPIPS behaviour."""
+    import logging
+
+    from synthanatomy_tpu.config import VQVAEConfig
+    from synthanatomy_tpu.runners.vqvae import resolve_lpips_params
+
+    logger = logging.getLogger("test-lpips")
+    rng = np.random.default_rng(0)
+    flat = convert_lpips(
+        "alex", _alex_backbone_sd(rng), _lin_sd(rng, (64, 192, 384, 256, 256))
+    )
+    p = str(tmp_path / "alex.npz")
+    np.savez(p, **flat)
+
+    cfg = VQVAEConfig(loss="jukebox_perceptual", lpips_weights=p)
+    params = resolve_lpips_params(cfg, logger)
+    assert params.kind == "alex"
+    # and the loaded weights really are the converted ones
+    expect = flat["lin/lin0/w"]
+    np.testing.assert_array_equal(np.asarray(params.lin["lin0"]["w"]), expect)
+
+    # net-kind mismatch: baseline loss needs squeeze, weights are alex
+    with pytest.raises(ValueError, match="lpips_weights"):
+        resolve_lpips_params(
+            VQVAEConfig(loss="baseline", lpips_weights=p), logger
+        )
+
+    # no weights → random fallback, still a valid params pytree
+    params_rand = resolve_lpips_params(
+        VQVAEConfig(loss="jukebox_perceptual"), logger
+    )
+    assert params_rand.kind == "alex"
+
+    # mse needs no LPIPS at all
+    assert resolve_lpips_params(VQVAEConfig(loss="mse"), logger) is None
