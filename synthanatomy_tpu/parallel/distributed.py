@@ -41,7 +41,20 @@ def maybe_initialize_distributed() -> bool:
     )
     if multi_host_env:
         try:
-            jax.distributed.initialize()
+            # manual clusters: explicit coordinator/process env triple
+            # (the reference's RANK/WORLD_SIZE convention, run_vqvae.py:
+            # 840-846); TPU slices auto-discover with no-arg initialize
+            kw = {}
+            if "JAX_COORDINATOR_ADDRESS" in os.environ and (
+                "JAX_NUM_PROCESSES" in os.environ
+                and "JAX_PROCESS_ID" in os.environ
+            ):
+                kw = dict(
+                    coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                    process_id=int(os.environ["JAX_PROCESS_ID"]),
+                )
+            jax.distributed.initialize(**kw)
             _log.info(
                 "jax.distributed initialized: process %d/%d",
                 jax.process_index(),

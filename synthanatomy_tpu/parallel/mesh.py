@@ -25,6 +25,7 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
+    "put_replicated",
     "shard_batch",
     "host_shard_info",
 ]
@@ -81,12 +82,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a (possibly nested) host batch with the leading axis
-    sharded over 'data'."""
+    sharded over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: the
+    input is this host's *local* shard (the loaders are already
+    host-sharded via :func:`host_shard_info`) and the global array is
+    assembled across processes — the DistributedSampler + DDP-input
+    replacement (reference src/utils/vqvae.py:406-408)."""
+    multi = jax.process_count() > 1
+
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        sharding = data_sharding(mesh, x.ndim)
+        if multi:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)
+
+
+def put_replicated(mesh: Mesh, tree):
+    """Replicate a host pytree onto every device of ``mesh``.
+
+    Single-process: plain device_put.  Multi-process: global arrays are
+    assembled from (identical) per-host copies — device_put cannot
+    target non-addressable shardings."""
+    sharding = replicated(mesh)
+    multi = jax.process_count() > 1
+
+    def _put(x):
+        if not multi:
+            return jax.device_put(x, sharding)
+        # typed PRNG keys can't round-trip through numpy directly
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            data = jax.make_array_from_process_local_data(
+                replicated(mesh), np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(
+                data, impl=jax.random.key_impl(x)
+            )
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(_put, tree)
 
 
 def host_shard_info() -> Tuple[int, int]:
