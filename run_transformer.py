@@ -85,6 +85,7 @@ def run(
     # TPU-native additions
     mesh_shape: Optional[Tuple[int, ...]] = None,
     compute_dtype: str = "bfloat16",
+    attn_compute_dtype: str = "bfloat16",
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

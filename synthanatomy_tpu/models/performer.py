@@ -124,6 +124,11 @@ class PerformerAttention(nn.Module):
     # bf16 is ~20% faster sampling with ~1e-2 relative logit noise
     # after 1400 accumulations (opt in for throughput-bound serving)
     favor_cache_dtype: Any = jnp.float32
+    # operand dtype of the batch-path attention matmuls (FAVOR chunk
+    # scan + local-window scores); accumulation is always fp32.
+    # bfloat16 is the training-throughput lever; fp32 is bit-exact
+    # with the incremental decode path.
+    attn_compute_dtype: Any = jnp.float32
     dtype: Any = jnp.bfloat16
 
     @property
@@ -186,21 +191,23 @@ class PerformerAttention(nn.Module):
                     causal=self.causal,
                     generalized=self.generalized,
                     chunk=self.scan_chunk,
+                    compute_dtype=self.attn_compute_dtype,
                 )
             )
         if self.local_heads > 0:
-            local_fn = (
-                local_attention_flash if self.use_pallas_local else local_attention
-            )
-            outs.append(
-                local_fn(
-                    q[:, gh:],
-                    k[:, gh:],
-                    v[:, gh:],
-                    window=self.local_window,
-                    causal=self.causal,
+            if self.use_pallas_local:
+                local_out = local_attention_flash(
+                    q[:, gh:], k[:, gh:], v[:, gh:],
+                    window=self.local_window, causal=self.causal,
+                    compute_dtype=self.attn_compute_dtype,
                 )
-            )
+            else:
+                local_out = local_attention(
+                    q[:, gh:], k[:, gh:], v[:, gh:],
+                    window=self.local_window, causal=self.causal,
+                    compute_dtype=self.attn_compute_dtype,
+                )
+            outs.append(local_out)
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
         out = self.to_out(out)
@@ -301,6 +308,7 @@ class PerformerBlock(nn.Module):
     use_pallas_local: bool
     remat_attention: bool
     favor_cache_dtype: Any
+    attn_compute_dtype: Any
     dtype: Any
 
     def setup(self):
@@ -317,7 +325,8 @@ class PerformerBlock(nn.Module):
             out_bias=self.attn_out_bias, dropout=self.attn_dropout,
             scan_chunk=self.scan_chunk, no_projection=self.no_projection,
             use_pallas_local=self.use_pallas_local,
-            favor_cache_dtype=self.favor_cache_dtype, dtype=self.dtype,
+            favor_cache_dtype=self.favor_cache_dtype,
+            attn_compute_dtype=self.attn_compute_dtype, dtype=self.dtype,
             name="attn",
         )
         self.ff = FeedForward(
@@ -406,6 +415,7 @@ class Performer(nn.Module):
     # `reversible` block remat when FF activations fit)
     remat_attention: bool = False
     favor_cache_dtype: Any = jnp.float32
+    attn_compute_dtype: Any = jnp.float32
     spatial_position_emb: Optional[str] = None
     spatial_shape: Optional[Tuple[int, ...]] = None
     ordering: Optional[Ordering] = None
@@ -524,7 +534,8 @@ class Performer(nn.Module):
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
                 self.scan_chunk, self.no_projection, self.use_pallas_local,
-                self.remat_attention, self.favor_cache_dtype, self.dtype,
+                self.remat_attention, self.favor_cache_dtype,
+                self.attn_compute_dtype, self.dtype,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

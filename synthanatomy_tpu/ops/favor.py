@@ -137,20 +137,45 @@ def generalized_kernel_features(
 
 
 def _noncausal_linear_attention(q_p, k_p, v):
-    k_sum = jnp.sum(k_p, axis=-2)  # (..., m)
+    k_sum = jnp.sum(k_p.astype(jnp.float32), axis=-2)  # (..., m)
     d_inv = 1.0 / jnp.maximum(
-        jnp.einsum("...nd,...d->...n", q_p, k_sum), 1e-12
+        jnp.einsum(
+            "...nd,...d->...n",
+            q_p.astype(jnp.float32),
+            k_sum,
+        ),
+        1e-12,
     )
-    context = jnp.einsum("...nd,...ne->...de", k_p, v)
-    return jnp.einsum("...de,...nd,...n->...ne", context, q_p, d_inv)
+    context = jnp.einsum(
+        "...nd,...ne->...de", k_p, v, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "...de,...nd,...n->...ne",
+        context,
+        q_p.astype(jnp.float32),
+        d_inv,
+    )
 
 
 def _causal_linear_attention_chunked(
-    q_p, k_p, v, chunk: int, init_state=None, return_state: bool = False
+    q_p,
+    k_p,
+    v,
+    chunk: int,
+    init_state=None,
+    return_state: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """q_p/k_p: (B, H, L, m); v: (B, H, L, d).  Scan over L/chunk chunks
     carrying (S: (B,H,m,d), z: (B,H,m)); ``init_state`` seeds the carry
-    (sequence-parallel shards pass the prefix from earlier shards)."""
+    (sequence-parallel shards pass the prefix from earlier shards).
+
+    ``compute_dtype=bfloat16`` runs the chunk matmuls with bf16
+    operands on the MXU while keeping fp32 accumulation
+    (``preferred_element_type``) and an fp32 (S, z) carry — the
+    carry is only rounded per-chunk where it re-enters a matmul.
+    fp32 (default) is bit-identical to the original path.
+    """
     b, h, n, m = q_p.shape
     d = v.shape[-1]
     pad = (-n) % chunk
@@ -159,27 +184,42 @@ def _causal_linear_attention_chunked(
         k_p = jnp.pad(k_p, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
     nc = (n + pad) // chunk
-    qc = q_p.reshape(b, h, nc, chunk, m).transpose(2, 0, 1, 3, 4)
-    kc = k_p.reshape(b, h, nc, chunk, m).transpose(2, 0, 1, 3, 4)
-    vc = v.reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+    cd = compute_dtype
+    qc = q_p.astype(cd).reshape(b, h, nc, chunk, m).transpose(2, 0, 1, 3, 4)
+    kc = k_p.astype(cd).reshape(b, h, nc, chunk, m).transpose(2, 0, 1, 3, 4)
+    vc = v.astype(cd).reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
 
     tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
 
     def step(carry, inp):
-        S, z = carry  # (b,h,m,d), (b,h,m)
-        qi, ki, vi = inp  # (b,h,c,m), (b,h,c,m), (b,h,c,d)
+        S, z = carry  # (b,h,m,d), (b,h,m) — fp32
+        qi, ki, vi = inp  # (b,h,c,m), (b,h,c,m), (b,h,c,d) — cd
         # within-chunk causal part: (c,c) scores masked lower-triangular
-        scores = jnp.einsum("bhim,bhjm->bhij", qi, ki) * tri
-        intra = jnp.einsum("bhij,bhjd->bhid", scores, vi)
-        inter = jnp.einsum("bhim,bhmd->bhid", qi, S)
+        scores = (
+            jnp.einsum("bhim,bhjm->bhij", qi, ki, preferred_element_type=jnp.float32)
+            * tri
+        )
+        intra = jnp.einsum(
+            "bhij,bhjd->bhid", scores.astype(cd), vi,
+            preferred_element_type=jnp.float32,
+        )
+        inter = jnp.einsum(
+            "bhim,bhmd->bhid", qi, S.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
         num = intra + inter
-        den = jnp.einsum("bhij->bhi", scores) + jnp.einsum("bhim,bhm->bhi", qi, z)
+        den = jnp.einsum("bhij->bhi", scores) + jnp.einsum(
+            "bhim,bhm->bhi", qi, z.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
         # clamp: padded rows have all-zero features → 0/0 would emit a
         # forward NaN in discarded rows whose *backward* (0-cotangent ÷
         # 0) still poisons the scan-carried gradients
         out_i = num / jnp.maximum(den, 1e-12)[..., None]
-        S = S + jnp.einsum("bhjm,bhjd->bhmd", ki, vi)
-        z = z + jnp.sum(ki, axis=-2)
+        S = S + jnp.einsum(
+            "bhjm,bhjd->bhmd", ki, vi, preferred_element_type=jnp.float32
+        )
+        z = z + jnp.sum(ki.astype(jnp.float32), axis=-2)
         return (S, z), out_i
 
     if init_state is None:
@@ -206,6 +246,7 @@ def favor_attention(
     kernel_fn: Callable[[jax.Array], jax.Array] = jax.nn.relu,
     chunk: int = 128,
     stabilize_keys: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """q,k,v: (B, H, L, d) → (B, H, L, d) in v's dtype.
 
@@ -215,6 +256,10 @@ def favor_attention(
     the attention ratio anyway except through the +eps guard, and the
     eps distortion compounds across layers.  Set True to reproduce the
     original performer-pytorch global-max key stabilizer.
+
+    ``compute_dtype=bfloat16`` runs the O(L·m·d) attention matmuls with
+    bf16 operands (fp32 accumulation) — the training-throughput lever;
+    feature maps (exp/softmax) and normalizing denominators stay fp32.
     """
     in_dtype = v.dtype
     if generalized:
@@ -237,9 +282,14 @@ def favor_attention(
         )
     v32 = jnp.asarray(v, jnp.float32)
     if causal:
-        out = _causal_linear_attention_chunked(q_p, k_p, v32, chunk)
+        out = _causal_linear_attention_chunked(
+            q_p, k_p, v32, chunk, compute_dtype=compute_dtype
+        )
     else:
-        out = _noncausal_linear_attention(q_p, k_p, v32)
+        out = _noncausal_linear_attention(
+            q_p.astype(compute_dtype), k_p.astype(compute_dtype),
+            v32.astype(compute_dtype),
+        )
     return out.astype(in_dtype)
 
 
@@ -253,6 +303,7 @@ def favor_attention_sequence_parallel(
     generalized: bool = False,
     kernel_fn: Callable[[jax.Array], jax.Array] = jax.nn.relu,
     chunk: int = 128,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Sequence-parallel causal FAVOR+ — call under ``shard_map`` with
     q/k/v sharded along L over mesh axis ``axis_name``.
@@ -296,7 +347,8 @@ def favor_attention_sequence_parallel(
     prefix_z = jnp.einsum("p,p...->...", mask, all_z)
 
     out = _causal_linear_attention_chunked(
-        q_p, k_p, v32, chunk, init_state=(prefix_S, prefix_z)
+        q_p, k_p, v32, chunk, init_state=(prefix_S, prefix_z),
+        compute_dtype=compute_dtype,
     )
     return out.astype(in_dtype)
 

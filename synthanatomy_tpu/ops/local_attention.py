@@ -65,6 +65,7 @@ def local_attention(
     position_offset: Union[int, jax.Array] = 0,
     halo_k: Optional[jax.Array] = None,
     halo_v: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """q,k,v: (B, H, L, d) → (B, H, L, d).
 
@@ -73,6 +74,11 @@ def local_attention(
     ``halo_k``/``halo_v`` (B, H, window, d) supply the previous
     ``window`` keys/values from the neighbouring shard (already
     rotary-rotated for their absolute positions) for bucket 0.
+
+    ``compute_dtype=bfloat16`` runs the two O(L·w·d) matmuls with bf16
+    operands (fp32 accumulation via ``preferred_element_type``); the
+    rotary phases, masking and softmax stay fp32.  fp32 (default) is
+    bit-identical to the original path.
     """
     b, h, n, d = q.shape
     in_dtype = v.dtype
@@ -84,6 +90,10 @@ def local_attention(
         q = apply_rotary(q.astype(jnp.float32), sin, cos)
         k = apply_rotary(k.astype(jnp.float32), sin, cos)
 
+    cd = compute_dtype
+    q = q.astype(cd)
+    k = k.astype(cd)
+    v = v.astype(cd)
     pad = (-n) % window
     if pad:
         zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
@@ -106,8 +116,8 @@ def local_attention(
     v2 = jnp.concatenate([v_prev, vb], axis=3)
 
     scores = jnp.einsum(
-        "bhnid,bhnjd->bhnij", qb.astype(jnp.float32), k2.astype(jnp.float32)
-    ) * scale  # (b,h,nb,w,2w)
+        "bhnid,bhnjd->bhnij", qb, k2, preferred_element_type=jnp.float32
+    ) * scale  # (b,h,nb,w,2w) fp32
 
     # mask: key absolute position must be ≤ query absolute position
     # (causal) and > query position - window (locality), and valid
@@ -126,7 +136,10 @@ def local_attention(
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhnij,bhnjd->bhnid", probs, v2.astype(jnp.float32))
+    out = jnp.einsum(
+        "bhnij,bhnjd->bhnid", probs.astype(cd), v2,
+        preferred_element_type=jnp.float32,
+    )
     out = out.reshape(b, h, n_pad, d)[:, :, :n]
     return out.astype(in_dtype)
 
@@ -199,6 +212,7 @@ def local_attention_sequence_parallel(
     window: int,
     axis_name: str,
     use_rotary: bool = True,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Sequence-parallel blocked local attention — call under
     ``shard_map`` with q/k/v sharded along L over ``axis_name``.
@@ -246,4 +260,5 @@ def local_attention_sequence_parallel(
         position_offset=offset,
         halo_k=halo_k,
         halo_v=halo_v,
+        compute_dtype=compute_dtype,
     )

@@ -1,16 +1,28 @@
-"""Pallas flash-style kernel for blocked local-window causal attention.
+"""Pallas flash-style kernels for blocked local-window causal attention.
 
-Forward-pass kernel for the hybrid Performer's local heads (the
-reference consumes CUDA kernels from ``pytorch-fast-transformers`` /
-``local-attention`` here, SURVEY.md §2.9): one grid step processes one
-(batch·head, bucket) pair — the (w × 2w) score tile, mask, softmax and
-PV product all stay in VMEM, so the O(L·w) score/probability tensors
-never touch HBM (the XLA path materializes them per layer, which is
-what OOM'd the 24-layer training config before remat).
+The hybrid Performer's local heads (the reference consumes CUDA kernels
+from ``pytorch-fast-transformers`` / ``local-attention`` here, SURVEY.md
+§2.9) are HBM-bound in the XLA path: each layer materializes the
+(B, H, nb, w, 2w) fp32 score tensor (~540 MB at the paper shape
+b6·16h·w420) through HBM three times (scores, mask+softmax, probs) at
+elementwise bandwidth — measured 5.5 ms/layer forward.  These kernels
+keep the score tile entirely in VMEM:
 
-The op is wrapped in ``jax.custom_vjp``: backward recomputes
-probabilities from the saved inputs (flash-attention style — O(L·w)
-recompute instead of O(L·w) storage).
+- forward: one grid step = one (batch·head, bucket) pair; the
+  (wp × 2wp) score tile, mask, softmax and PV product never leave VMEM.
+  The previous bucket's keys/values arrive via the BlockSpec index map
+  ((j-1) mod nb — bucket 0's wrap partner is junk-but-masked), so the
+  XLA-side k2/v2 concat copies disappear too.
+- backward: flash-style in-VMEM recompute — probabilities are rebuilt
+  from the saved (post-rotary) q/k and the softmax/matmul backward runs
+  in the same tile; dk/dv contributions to the previous bucket are
+  written as a separate (2wp, d) block and folded with one O(L·d) roll
+  outside.
+
+Buckets are padded from ``w`` to a sublane-aligned ``wp`` (multiple of
+32); the mask handles the padded rows.  Matmul operands stay in
+``compute_dtype`` (bf16 under the training policy → MXU rate, fp32
+accumulation via ``preferred_element_type``); softmax always fp32.
 
 Numerics match ``ops.local_attention.local_attention`` (same bucketed
 look-backward-1 semantics, rotary applied by the caller); the public
@@ -20,11 +32,10 @@ entry :func:`local_attention_flash` falls back to the XLA path off-TPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,119 +47,234 @@ from synthanatomy_tpu.ops.local_attention import (
 
 __all__ = ["local_attention_flash"]
 
+_NEG = -1e30
 
-def _kernel(q_ref, k2_ref, v2_ref, o_ref):
-    """Blocks: q (1,1,w,d); k2/v2 (1,1,2w,d); out (1,1,w,d).  Positions
-    are derived from the bucket index (grid dim 1) with broadcasted
-    iota — no tiny-lane position operands (Mosaic-hostile)."""
-    q = q_ref[0, 0].astype(jnp.float32)  # (w, d)
-    k2 = k2_ref[0, 0].astype(jnp.float32)  # (2w, d)
-    v2 = v2_ref[0, 0].astype(jnp.float32)
-    d = q.shape[-1]
-    w = q.shape[0]
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _mask_bias(w: int, wp: int) -> "np.ndarray":
+    """(2, wp, 2wp) fp32 additive score bias, precomputed on the host:
+    row 0 = bucket 0 (absolute validity drops the wrapped 'previous'
+    bucket), row 1 = every later bucket.  Columns [0, wp) are the
+    previous bucket (rel positions c-w for c<w), columns [wp, 2wp) the
+    current (rel c-wp).  Causal + locality + validity, exactly the XLA
+    path's semantics.  Shipping this as a kernel *input* (one block,
+    re-used across grid steps) replaces ~15 per-step VPU iota/compare
+    passes over the (wp, 2wp) tile — the dominant kernel cost at the
+    paper shape — with one DMA'd add."""
+    import numpy as np
+
+    q_rel = np.arange(wp)[:, None]
+    c = np.arange(2 * wp)[None, :]
+    is_prev = c < wp
+    rel = np.where(is_prev, c - w, c - wp)
+    key_valid = (c < w) | ((c >= wp) & (c < wp + w))
+    q_valid = q_rel < w
+    allowed = key_valid & q_valid & (rel <= q_rel) & (rel > q_rel - w)
+    bias = np.stack([
+        np.where(allowed & (rel >= 0), 0.0, _NEG),  # bucket 0: base == 0
+        np.where(allowed, 0.0, _NEG),  # base ≥ w ⇒ base + rel ≥ 0 always
+    ]).astype(np.float32)
+    return bias
+
+
+def _fwd_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *, w: int):
+    d = q_ref.shape[3]
+    cd = q_ref.dtype
+    q = q_ref[0, 0]
+    k2 = jnp.concatenate([kp_ref[0, 0], kc_ref[0, 0]], axis=0)  # (2wp, d)
+    v2 = jnp.concatenate([vp_ref[0, 0], vc_ref[0, 0]], axis=0)
 
     scores = jax.lax.dot_general(
         q, k2,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5)  # (w, 2w)
-
-    j = pl.program_id(1)  # bucket index
-    base = j * w
-    # within-bucket relative positions; absolute = base + rel
-    q_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 0)
-    k_rel = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 1) - w
-    # causal: k ≤ q; locality: k > q - w; validity: k absolute ≥ 0
-    allowed = (k_rel <= q_rel) & (k_rel > q_rel - w) & (base + k_rel >= 0)
-    scores = jnp.where(allowed, scores, jnp.float32(-1e30))
+    ) * (d**-0.5) + bias_ref[0]  # (wp, 2wp) fp32, masked additively
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     o_ref[0, 0] = jax.lax.dot_general(
-        probs, v2,
+        probs.astype(cd), v2,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _forward(q, k, v, window: int, interpret: bool):
-    """q,k,v: (B, H, L, d) post-rotary.  Returns (B, H, L, d)."""
-    b, h, n, d = q.shape
+def _bwd_kernel(
+    q_ref, kp_ref, kc_ref, vp_ref, vc_ref, g_ref, bias_ref,
+    dq_ref, dk2_ref, dv2_ref, *, w: int,
+):
+    d = q_ref.shape[3]
+    cd = q_ref.dtype
+    scale = d**-0.5
+    q = q_ref[0, 0]
+    k2 = jnp.concatenate([kp_ref[0, 0], kc_ref[0, 0]], axis=0)
+    v2 = jnp.concatenate([vp_ref[0, 0], vc_ref[0, 0]], axis=0)
+    g = g_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        q, k2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (wp, 2wp) fp32
+
+    dP = jax.lax.dot_general(
+        g, v2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (wp, 2wp)
+    t = jnp.sum(dP * probs, axis=-1, keepdims=True)
+    dS = probs * (dP - t)  # masked entries have probs == 0 → dS == 0
+
+    dq_ref[0, 0] = (
+        jax.lax.dot_general(
+            dS.astype(cd), k2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dq_ref.dtype)
+    dk2_ref[0, 0] = (
+        jax.lax.dot_general(
+            dS.astype(cd), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dk2_ref.dtype)
+    dv2_ref[0, 0] = jax.lax.dot_general(
+        probs.astype(cd), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv2_ref.dtype)
+
+
+def _bucketize(x, window: int, wp: int):
+    """(B, H, L, d) → (B·H, nb, wp, d) with per-bucket row padding."""
+    b, h, n, d = x.shape
     pad = (-n) % window
     if pad:
-        zp = ((0, 0), (0, 0), (0, pad), (0, 0))
-        q, k, v = jnp.pad(q, zp), jnp.pad(k, zp), jnp.pad(v, zp)
-    n_pad = n + pad
-    nb = n_pad // window
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nb = (n + pad) // window
+    x = x.reshape(b * h, nb, window, d)
+    if wp != window:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - window), (0, 0)))
+    return x, nb
 
+
+def _block_specs(wp: int, d: int, nb: int):
+    # grid is (nb, bh): the bucket index j is the OUTER grid dim, so the
+    # (wp, 2wp) mask-bias block — which depends only on min(j, 1) —
+    # stays resident across the whole inner bh sweep (its DMA is
+    # skipped for unchanged block indices): 2 bias fetches per kernel
+    # instead of one per grid step.
+    cur = pl.BlockSpec(
+        (1, 1, wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    prev = pl.BlockSpec(
+        (1, 1, wp, d), lambda j, i: (i, (j - 1) % nb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bias = pl.BlockSpec(
+        (1, wp, 2 * wp), lambda j, i: (jnp.minimum(j, 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return cur, prev, bias
+
+
+def _forward(q, k, v, window: int, interpret: bool):
+    """q,k,v: (B, H, L, d) post-rotary, compute dtype.  → (B, H, L, d)."""
+    b, h, n, d = q.shape
+    wp = _round_up(window, 32)
+    qf, nb = _bucketize(q, window, wp)
+    kf, _ = _bucketize(k, window, wp)
+    vf, _ = _bucketize(v, window, wp)
     bh = b * h
-    qf = q.reshape(bh, nb, window, d)
-    kf = k.reshape(bh, nb, window, d)
-    vf = v.reshape(bh, nb, window, d)
-    k_prev = jnp.roll(kf, 1, axis=1)
-    v_prev = jnp.roll(vf, 1, axis=1)
-    k2 = jnp.concatenate([k_prev, kf], axis=2)  # (bh, nb, 2w, d)
-    v2 = jnp.concatenate([v_prev, vf], axis=2)
+    bias = jnp.asarray(_mask_bias(window, wp))
 
-    grid = (bh, nb)
+    cur, prev, bspec = _block_specs(wp, d, nb)
     out = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, window, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, nb, window, d), v.dtype),
+        functools.partial(_fwd_kernel, w=window),
+        grid=(nb, bh),
+        in_specs=[cur, prev, cur, prev, cur, bspec],
+        out_specs=cur,
+        out_shape=jax.ShapeDtypeStruct((bh, nb, wp, d), v.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bh * nb * window * 2 * window * d * 2,
-            bytes_accessed=bh * nb * window * d * 2 * 4,
-            transcendentals=bh * nb * window * 2 * window,
+            flops=2 * bh * nb * wp * 2 * wp * d * 2,
+            bytes_accessed=5 * bh * nb * wp * d * q.dtype.itemsize,
+            transcendentals=bh * nb * wp * 2 * wp,
         ),
-    )(qf, k2, v2)
+    )(qf, kf, kf, vf, vf, bias)
 
-    out = out.reshape(b, h, n_pad, d)[:, :, :n]
+    out = out[:, :, :window].reshape(b, h, nb * window, d)[:, :, :n]
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core(q, k, v, window: int, use_rotary: bool, interpret: bool):
-    return _flash_fwd_impl(q, k, v, window, use_rotary, interpret)
+def _backward(q, k, v, g, window: int, interpret: bool):
+    b, h, n, d = q.shape
+    wp = _round_up(window, 32)
+    qf, nb = _bucketize(q, window, wp)
+    kf, _ = _bucketize(k, window, wp)
+    vf, _ = _bucketize(v, window, wp)
+    gf, _ = _bucketize(g.astype(q.dtype), window, wp)
+    bh = b * h
+    bias = jnp.asarray(_mask_bias(window, wp))
 
-
-def _flash_fwd_impl(q, k, v, window, use_rotary, interpret):
-    if use_rotary:
-        n = q.shape[2]
-        sin, cos = rotary_sin_cos(q.shape[-1], jnp.arange(n))
-        q = apply_rotary(q.astype(jnp.float32), sin, cos)
-        k = apply_rotary(k.astype(jnp.float32), sin, cos)
-    return _forward(
-        q.astype(jnp.float32), k.astype(jnp.float32), v, window, interpret
+    cur, prev, bspec = _block_specs(wp, d, nb)
+    d2 = pl.BlockSpec(
+        (1, 1, 2 * wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
+    dq, dk2, dv2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, w=window),
+        grid=(nb, bh),
+        in_specs=[cur, prev, cur, prev, cur, cur, bspec],
+        out_specs=[cur, d2, d2],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nb, wp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nb, 2 * wp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nb, 2 * wp, d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * bh * nb * wp * 2 * wp * d,
+            bytes_accessed=11 * bh * nb * wp * d * 4,
+            transcendentals=bh * nb * wp * 2 * wp,
+        ),
+    )(qf, kf, kf, vf, vf, gf, bias)
+
+    def fold(dx2):
+        # bucket j's columns [0, wp) are gradients for bucket (j-1)'s
+        # keys/values; bucket 0's wrap contribution to bucket nb-1 is
+        # exactly zero because those scores are masked
+        prev_part = dx2[:, :, :window]
+        cur_part = dx2[:, :, wp : wp + window]
+        folded = cur_part + jnp.roll(prev_part, -1, axis=1)
+        return folded.reshape(b, h, nb * window, d)[:, :, :n]
+
+    dqo = dq[:, :, :window].reshape(b, h, nb * window, d)[:, :, :n]
+    return dqo.astype(q.dtype), fold(dk2).astype(k.dtype), fold(dv2).astype(v.dtype)
 
 
-def _flash_fwd(q, k, v, window, use_rotary, interpret):
-    out = _flash_fwd_impl(q, k, v, window, use_rotary, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_core(q, k, v, window: int, interpret: bool):
+    return _forward(q, k, v, window, interpret)
+
+
+def _flash_fwd(q, k, v, window, interpret):
+    out = _forward(q, k, v, window, interpret)
     return out, (q, k, v)
 
 
-def _flash_bwd(window, use_rotary, interpret, res, g):
-    # flash-style: recompute the (cheap, local) attention in the
-    # backward via jax.vjp of the XLA reference implementation — no
-    # stored probabilities
+def _flash_bwd(window, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _local_attention_xla(
-            q, k, v, window=window, causal=True, use_rotary=use_rotary
-        ),
-        q, k, v,
-    )
-    return vjp(g)
+    return _backward(q, k, v, g, window, interpret)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
@@ -162,19 +288,41 @@ def local_attention_flash(
     window: int,
     causal: bool = True,
     use_rotary: bool = True,
+    compute_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Drop-in for ``ops.local_attention.local_attention`` with a
-    Pallas forward on TPU (XLA fallback elsewhere / non-causal)."""
+    """Drop-in for ``ops.local_attention.local_attention`` with Pallas
+    forward+backward kernels on TPU (XLA fallback elsewhere /
+    non-causal).  ``compute_dtype`` sets the matmul operand dtype
+    (fp32 accumulation either way)."""
     if interpret is None:
-        on_tpu = jax.default_backend() == "tpu"
+        # honour `with jax.default_device(cpu)` (host-side model init):
+        # the pallas_call must not be staged for a CPU execution
+        dd = jax.config.jax_default_device
+        on_tpu = (
+            dd.platform == "tpu"
+            if dd is not None
+            else jax.default_backend() == "tpu"
+        )
         if not on_tpu:
             return _local_attention_xla(
-                q, k, v, window=window, causal=causal, use_rotary=use_rotary
+                q, k, v, window=window, causal=causal, use_rotary=use_rotary,
+                compute_dtype=compute_dtype,
             )
         interpret = False
     if not causal:
         return _local_attention_xla(
-            q, k, v, window=window, causal=False, use_rotary=use_rotary
+            q, k, v, window=window, causal=False, use_rotary=use_rotary,
+            compute_dtype=compute_dtype,
         )
-    return _flash_core(q, k, v, window, use_rotary, interpret)
+    in_dtype = v.dtype
+    if use_rotary:
+        n = q.shape[2]
+        sin, cos = rotary_sin_cos(q.shape[-1], jnp.arange(n))
+        q = apply_rotary(q.astype(jnp.float32), sin, cos)
+        k = apply_rotary(k.astype(jnp.float32), sin, cos)
+    cd = compute_dtype
+    out = _flash_core(
+        q.astype(cd), k.astype(cd), v.astype(cd), window, interpret
+    )
+    return out.astype(in_dtype)

@@ -79,6 +79,11 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
             config.conditioning_type if config.conditioning_num_tokens else "none"
         ),
         use_pallas_local=config.use_pallas_local_attn,
+        attn_compute_dtype=(
+            jnp.bfloat16
+            if config.attn_compute_dtype == "bfloat16"
+            else jnp.float32
+        ),
         dtype=dtype,
     )
 

@@ -172,7 +172,8 @@ def test_local_attention_flash_interpret_matches_xla(n, window):
     )
     out = np.asarray(
         local_attention_flash(
-            q, k, v, window=window, use_rotary=True, interpret=True
+            q, k, v, window=window, use_rotary=True, interpret=True,
+            compute_dtype=jnp.float32,
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
@@ -189,10 +190,80 @@ def test_local_attention_flash_grad_matches_xla():
 
     def f_flash(q, k, v):
         return jnp.sum(
-            local_attention_flash(q, k, v, window=4, use_rotary=True, interpret=True) ** 2
+            local_attention_flash(
+                q, k, v, window=4, use_rotary=True, interpret=True,
+                compute_dtype=jnp.float32,
+            ) ** 2
         )
 
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_favor_bf16_compute_close_to_fp32():
+    """attn_compute_dtype=bfloat16 keeps fp32 accumulation — outputs
+    must track the fp32 path to bf16 operand-rounding tolerance."""
+    key = jax.random.key(7)
+    b, h, n, d, m = 2, 2, 37, 16, 32
+    q, k, v = jax.random.normal(key, (3, b, h, n, d))
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(1), m, d)
+
+    ref = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
+    fast = np.asarray(
+        favor_attention(
+            q, k, v, proj, causal=True, chunk=8, compute_dtype=jnp.bfloat16
+        )
+    )
+    np.testing.assert_allclose(fast, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_local_attention_bf16_compute_close_to_fp32():
+    key = jax.random.key(8)
+    b, h, n, d = 2, 2, 50, 16
+    q, k, v = jax.random.normal(key, (3, b, h, n, d))
+    ref = np.asarray(local_attention(q, k, v, window=16))
+    fast = np.asarray(
+        local_attention(q, k, v, window=16, compute_dtype=jnp.bfloat16)
+    )
+    np.testing.assert_allclose(fast, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_compute_dtype_fp32_default_bit_identical():
+    """Threading compute_dtype must not change the fp32 default path at
+    all — the incremental-decode exactness story depends on it."""
+    key = jax.random.key(9)
+    b, h, n, d, m = 1, 2, 33, 16, 32
+    q, k, v = jax.random.normal(key, (3, b, h, n, d))
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(2), m, d)
+    a = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
+    b_ = np.asarray(
+        favor_attention(
+            q, k, v, proj, causal=True, chunk=8, compute_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_array_equal(a, b_)
+    la = np.asarray(local_attention(q, k, v, window=16))
+    lb = np.asarray(
+        local_attention(q, k, v, window=16, compute_dtype=jnp.float32)
+    )
+    np.testing.assert_array_equal(la, lb)
+
+
+def test_local_attention_flash_bf16_close(monkeypatch):
+    """Kernel with bf16 operands (the training default) tracks the fp32
+    XLA path to operand-rounding tolerance; unaligned window exercises
+    the padded-bucket masks."""
+    from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
+
+    key = jax.random.key(13)
+    q, k, v = jax.random.normal(key, (3, 1, 2, 22, 8))
+    ref = np.asarray(local_attention(q, k, v, window=6, use_rotary=True))
+    out = np.asarray(
+        local_attention_flash(
+            q, k, v, window=6, use_rotary=True, interpret=True,
+            compute_dtype=jnp.bfloat16,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=4e-2, atol=4e-2)
