@@ -70,7 +70,7 @@ def run(
     ff_glu: bool = False,
     ff_chunks: int = 1,
     reversible: bool = False,
-    remat_attention: bool = True,
+    remat_attention: bool = False,
     emb_dropout: float = 0.0,
     ff_dropout: float = 0.0,
     attn_dropout: float = 0.0,
@@ -86,6 +86,8 @@ def run(
     mesh_shape: Optional[Tuple[int, ...]] = None,
     compute_dtype: str = "bfloat16",
     attn_compute_dtype: str = "bfloat16",
+    use_pallas_local_attn: bool = True,
+    use_pallas_favor_attn: bool = True,
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

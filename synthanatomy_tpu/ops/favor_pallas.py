@@ -1,0 +1,366 @@
+"""Fused Pallas kernels for causal FAVOR+ attention (softmax kernel).
+
+Two costs dominate the XLA path (``ops.favor``) at the paper shape:
+materializing the fp32 feature maps q_p/k_p (B, H, L, m) through HBM
+(~400 MB/layer) and the ``lax.scan`` chunk copies.  These kernels fuse
+BOTH the softmax-kernel feature maps (reference performer-pytorch
+math: φ(x) = m^(-1/2)·(exp(x·dn·Pᵀ − ‖x‖²dn²/2 − stab) + ε), query
+rowmax stabilizer, zero key stabilizer — the batch==incremental design
+of ops/favor.py) and the causal prefix scan into one VMEM-resident
+pass: HBM traffic per layer drops to the q/k/v/out streams (~30 MB).
+
+Grid = (batch·head, chunk); the running (S: (m, d), z: (m,)) state
+lives in VMEM scratch across the chunk sweep.  ``jax.custom_vjp``:
+
+- forward: features + scan; saves only (L,) denominators + output.
+- backward dq: forward-order sweep recomputing features and prefix
+  (S, z); chains dq_p → dq through the exp/diag/max-stabilizer (the
+  rowmax subgradient splits evenly across ties, matching JAX autodiff).
+- backward dk/dv: reverse-order sweep carrying suffix
+  (Σ q_pᵀ·dnum, Σ q_pᵀ·gd) statistics; chains dk_p → dk (zero key
+  stabilizer ⇒ no routing term).
+
+The projection matrix is a non-trained buffer in the reference
+(performer-pytorch registers it as a buffer; redrawn, never trained) —
+its cotangent is returned as zeros.
+
+Matmul operands in the caller's compute dtype (bf16 under the training
+policy), fp32 accumulation and fp32 feature/softmax math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["favor_attention_fused"]
+
+_EPS = 1e-4  # the consumed implementation's feature-map epsilon
+
+
+def _tri(c: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return r >= j
+
+
+def _dot(a, b, trans_a=False, trans_b=False):
+    ca = (0,) if trans_a else (1,)
+    cb = (1,) if trans_b else (0,)
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((ca[0],), (cb[0],)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _features(q, k, p_ref, cd):
+    """In-VMEM softmax-kernel feature maps for one chunk.
+
+    q/k: (c, d) fp32; returns (q_p, k_p, e_q, e_k, u_q) where
+    e_* = exp(u − diag − stab) (needed for the backward chain) and the
+    features are r·(e + ε).  Query stabilizer = rowmax; key = 0.
+    """
+    d = q.shape[-1]
+    m = p_ref.shape[0]
+    dn = d**-0.25
+    r = m**-0.5
+    p = p_ref[...]  # (m, d)
+    u_q = _dot((q * dn).astype(cd), p.astype(cd), trans_b=True)  # (c, m) f32
+    u_k = _dot((k * dn).astype(cd), p.astype(cd), trans_b=True)
+    diag_q = jnp.sum(q * q, axis=-1, keepdims=True) * (0.5 * dn * dn)
+    diag_k = jnp.sum(k * k, axis=-1, keepdims=True) * (0.5 * dn * dn)
+    s_q = jnp.max(u_q, axis=-1, keepdims=True)
+    e_q = jnp.exp(u_q - diag_q - s_q)
+    e_k = jnp.exp(u_k - diag_k)
+    return r * (e_q + _EPS), r * (e_k + _EPS), e_q, e_k, u_q
+
+
+def _dfeat_q(q, u_q, e_q, dqp, p_ref, cd):
+    """Chain dL/dq_p → dL/dq through φ_q (rowmax stabilizer routed to
+    ties evenly — identical to JAX's reduce_max VJP)."""
+    d = q.shape[-1]
+    m = p_ref.shape[0]
+    dn = d**-0.25
+    r = m**-0.5
+    dE = dqp * (r * e_q)  # (c, m)
+    w = jnp.sum(dE, axis=-1, keepdims=True)  # (c, 1)
+    s_q = jnp.max(u_q, axis=-1, keepdims=True)
+    ties = (u_q == s_q).astype(jnp.float32)
+    cnt = jnp.sum(ties, axis=-1, keepdims=True)
+    du = dE - ties * (w / cnt)
+    dq = _dot(du.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * q
+    return dq
+
+
+def _dfeat_k(k, e_k, dkp, p_ref, cd):
+    """Chain dL/dk_p → dL/dk through φ_k (zero stabilizer ⇒ no
+    routing)."""
+    d = k.shape[-1]
+    m = p_ref.shape[0]
+    dn = d**-0.25
+    r = m**-0.5
+    dE = dkp * (r * e_k)
+    w = jnp.sum(dE, axis=-1, keepdims=True)
+    dk = _dot(dE.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * k
+    return dk
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, p_ref, o_ref, den_ref, S_ref, z_ref):
+    c = q_ref.shape[1]
+    cd = q_ref.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        S_ref[...] = jnp.zeros_like(S_ref)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    qp, kp, _, _, _ = _features(q, k, p_ref, cd)
+    qc = qp.astype(cd)
+    kc = kp.astype(cd)
+
+    scores = jnp.where(_tri(c), _dot(qc, kc, trans_b=True), 0.0)  # (c, c)
+    num = _dot(scores.astype(cd), v) + _dot(qc, S_ref[...].astype(cd))
+    den = (
+        jnp.sum(scores, axis=-1, keepdims=True)
+        + _dot(qc, z_ref[...].astype(cd).T)
+    )  # (c, 1)
+    inv = 1.0 / jnp.maximum(den, 1e-12)
+    o_ref[0] = (num * inv).astype(o_ref.dtype)
+    # den saved for the backward as a (c, 8) broadcast plane — a
+    # (1, chunk) block would violate the (8, 128) tiling constraint
+    den_ref[0] = jnp.broadcast_to(den, (c, 8)).astype(den_ref.dtype)
+
+    S_ref[...] += _dot(kc, v, trans_a=True)
+    z_ref[...] += jnp.sum(kp, axis=0)[None]
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, den_ref, dq_ref, S_ref, z_ref
+):
+    c = q_ref.shape[1]
+    cd = q_ref.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        S_ref[...] = jnp.zeros_like(S_ref)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    qp, kp, e_q, _, u_q = _features(q, k, p_ref, cd)
+    qc = qp.astype(cd)
+    kc = kp.astype(cd)
+    g = g_ref[0].astype(jnp.float32)
+    out = o_ref[0].astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(den_ref[0][:, :1].astype(jnp.float32), 1e-12)
+
+    dnum = g * inv  # (c, d)
+    gd = -jnp.sum(g * out, axis=-1, keepdims=True) * inv  # (c, 1)
+
+    dscores = jnp.where(
+        _tri(c), _dot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
+    )
+    dqp = (
+        _dot(dscores.astype(cd), kc)
+        + _dot(dnum.astype(cd), S_ref[...].astype(cd), trans_b=True)
+        + gd * z_ref[...].astype(jnp.float32)
+    )
+    dq_ref[0] = _dfeat_q(q, u_q, e_q, dqp, p_ref, cd).astype(dq_ref.dtype)
+
+    S_ref[...] += _dot(kc, v, trans_a=True)
+    z_ref[...] += jnp.sum(kp, axis=0)[None]
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, den_ref, dk_ref, dv_ref,
+    dS_ref, dz_ref,
+):
+    c = q_ref.shape[1]
+    cd = q_ref.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dS_ref[...] = jnp.zeros_like(dS_ref)
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    qp, kp, _, e_k, _ = _features(q, k, p_ref, cd)
+    qc = qp.astype(cd)
+    kc = kp.astype(cd)
+    g = g_ref[0].astype(jnp.float32)
+    out = o_ref[0].astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(den_ref[0][:, :1].astype(jnp.float32), 1e-12)
+
+    dnum = g * inv
+    gd = -jnp.sum(g * out, axis=-1, keepdims=True) * inv
+
+    tri = _tri(c)
+    scores = jnp.where(tri, _dot(qc, kc, trans_b=True), 0.0)
+    dscores = jnp.where(
+        tri, _dot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
+    )
+
+    # suffix statistics exclude the current chunk (strictly-later
+    # chunks): use them BEFORE adding this chunk's contribution
+    dS = dS_ref[...].astype(jnp.float32)  # (m, d)
+    dz = dz_ref[...].astype(jnp.float32)  # (1, m)
+
+    dkp = (
+        _dot(dscores.astype(cd), qc, trans_a=True)
+        + _dot(v, dS.astype(cd), trans_b=True)
+        + dz
+    )
+    dv = _dot(scores.astype(cd), dnum.astype(cd), trans_a=True) + _dot(
+        kc, dS.astype(cd)
+    )
+    dk_ref[0] = _dfeat_k(k, e_k, dkp, p_ref, cd).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    dS_ref[...] += _dot(qc, dnum.astype(cd), trans_a=True)
+    dz_ref[...] += _dot(qc, gd.astype(cd), trans_a=True).T
+
+
+def _flatten_pad(x, chunk: int):
+    b, h, n, f = x.shape
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x.reshape(b * h, n + pad, f), (n + pad) // chunk
+
+
+def _specs(chunk: int, d: int, nc: int, reverse: bool):
+    if reverse:
+        jm = lambda i, j: (i, nc - 1 - j, 0)  # noqa: E731
+    else:
+        jm = lambda i, j: (i, j, 0)  # noqa: E731
+    x = pl.BlockSpec((1, chunk, d), jm, memory_space=pltpu.VMEM)
+    den = pl.BlockSpec((1, chunk, 8), jm, memory_space=pltpu.VMEM)
+    return x, den
+
+
+def _proj_spec(m: int, d: int):
+    return pl.BlockSpec((m, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _scratch(m: int, d: int):
+    return [
+        pltpu.VMEM((m, d), jnp.float32),
+        pltpu.VMEM((1, m), jnp.float32),
+    ]
+
+
+def _fwd_impl(q, k, v, p, chunk: int, interpret: bool):
+    b, h, n, d = q.shape
+    m = p.shape[0]
+    qf, nc = _flatten_pad(q, chunk)
+    kf, _ = _flatten_pad(k, chunk)
+    vf, _ = _flatten_pad(v, chunk)
+    bh = b * h
+
+    sx, sden = _specs(chunk, d, nc, reverse=False)
+    out, den = pl.pallas_call(
+        _fwd_kernel,
+        grid=(bh, nc),
+        in_specs=[sx, sx, sx, _proj_spec(m, d)],
+        out_specs=[sx, sden],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nc * chunk, 8), jnp.float32),
+        ],
+        scratch_shapes=_scratch(m, d),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nc * chunk * (2 * m * d + chunk * m + chunk * d + 2 * m * d),
+            bytes_accessed=bh * nc * chunk * 4 * d * q.dtype.itemsize,
+            transcendentals=2 * bh * nc * chunk * m,
+        ),
+    )(qf, kf, vf, p)
+    return out, den, nc
+
+
+def _bwd_impl(q, k, v, p, g, out_flat, den_flat, nc, chunk: int, interpret: bool):
+    b, h, n, d = q.shape
+    m = p.shape[0]
+    qf, _ = _flatten_pad(q, chunk)
+    kf, _ = _flatten_pad(k, chunk)
+    vf, _ = _flatten_pad(v, chunk)
+    gf, _ = _flatten_pad(g.astype(q.dtype), chunk)
+    bh = b * h
+
+    sx, sden = _specs(chunk, d, nc, reverse=False)
+    dq = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid=(bh, nc),
+        in_specs=[sx, sx, sx, _proj_spec(m, d), sx, sx, sden],
+        out_specs=sx,
+        out_shape=jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
+        scratch_shapes=_scratch(m, d),
+        interpret=interpret,
+    )(qf, kf, vf, p, gf, out_flat, den_flat)
+
+    rx, rden = _specs(chunk, d, nc, reverse=True)
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=(bh, nc),
+        in_specs=[rx, rx, rx, _proj_spec(m, d), rx, rx, rden],
+        out_specs=[rx, rx],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
+        ],
+        scratch_shapes=_scratch(m, d),
+        interpret=interpret,
+    )(qf, kf, vf, p, gf, out_flat, den_flat)
+
+    def unflat(x):
+        return x.reshape(b, h, nc * chunk, d)[:, :, :n]
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def favor_attention_fused(q, k, v, projection, chunk: int = 256,
+                          interpret: bool = False):
+    """Causal softmax-kernel FAVOR+ with fused feature maps + prefix
+    scan.  q/k/v: (B, H, L, d) in compute dtype; projection: (m, d).
+    Returns (B, H, L, d) fp32.  Math matches
+    ``favor_attention(..., stabilize_keys=False)`` exactly (zero key
+    stabilizer).  The projection cotangent is zeros (non-trained buffer
+    in the reference)."""
+    out, den, nc = _fwd_impl(q, k, v, projection, chunk, interpret)
+    b, h, n, d = q.shape
+    return out.reshape(b, h, -1, d)[:, :, :n]
+
+
+def _vjp_fwd(q, k, v, projection, chunk, interpret):
+    out, den, nc = _fwd_impl(q, k, v, projection, chunk, interpret)
+    b, h, n, d = q.shape
+    o = out.reshape(b, h, -1, d)[:, :, :n]
+    return o, (q, k, v, projection, out, den, nc)
+
+
+def _vjp_bwd(chunk, interpret, res, g):
+    q, k, v, projection, out_flat, den_flat, nc = res
+    dq, dk, dv = _bwd_impl(
+        q, k, v, projection, g, out_flat, den_flat, nc, chunk, interpret
+    )
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(projection),
+    )
+
+
+favor_attention_fused.defvjp(_vjp_fwd, _vjp_bwd)

@@ -35,7 +35,19 @@ def build_ordering(config: TransformerConfig, latent_shape):
     )
 
 
+def _single_device(config: TransformerConfig) -> bool:
+    import jax
+
+    n = (
+        int(np.prod(config.mesh_shape))
+        if config.mesh_shape
+        else jax.device_count()
+    )
+    return n == 1
+
+
 def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=None):
+    import jax
     import jax.numpy as jnp
 
     from synthanatomy_tpu.models.performer import Performer
@@ -78,7 +90,15 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
         conditioning_type=(
             config.conditioning_type if config.conditioning_num_tokens else "none"
         ),
-        use_pallas_local=config.use_pallas_local_attn,
+        # the Pallas kernels are not GSPMD-partitionable yet: only
+        # enable them when the step runs on a single device (multi-chip
+        # uses the XLA paths, which partition cleanly)
+        use_pallas_local=(
+            config.use_pallas_local_attn and _single_device(config)
+        ),
+        use_pallas_favor=(
+            config.use_pallas_favor_attn and _single_device(config)
+        ),
         attn_compute_dtype=(
             jnp.bfloat16
             if config.attn_compute_dtype == "bfloat16"

@@ -47,6 +47,8 @@ def main() -> None:
     p.add_argument("--scan-chunk", type=int, default=128)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--pallas-local", action="store_true")
+    p.add_argument("--pallas-favor", action="store_true")
+    p.add_argument("--pallas-chunk", type=int, default=256)
     p.add_argument("--reversible", action="store_true")
     p.add_argument("--attn-dtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -79,6 +81,7 @@ def main() -> None:
         remat_attention=not (args.no_remat or args.reversible),
         reversible=args.reversible,
         use_pallas_local=args.pallas_local,
+        use_pallas_favor=args.pallas_favor,
         attn_compute_dtype=jnp.bfloat16
         if args.attn_dtype == "bfloat16"
         else jnp.float32,
