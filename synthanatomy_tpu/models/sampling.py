@@ -145,6 +145,7 @@ def sample_fused(
     rng: Optional[jax.Array] = None,
     bos_token: Optional[int] = None,
     state_dtype=jnp.bfloat16,
+    ring_quant: bool = False,
 ) -> jax.Array:
     """Fused-kernel sampling: the whole depth-L decode step runs as ONE
     Pallas call per token (ops/fused_decode.py) with int8 weight
@@ -177,6 +178,7 @@ def sample_fused(
         local_window=model.local_window_size,
         nb_features=model.nb_features or _default_nb_features(model.dim_head),
         ff_mult=model.ff_mult, quantize=True, state_dtype=state_dtype,
+        ring_quant=ring_quant,
     )
     interpret = jax.default_backend() != "tpu"
     step = make_fused_decode_step(cfg, interpret=interpret)
@@ -278,6 +280,7 @@ def make_sampler(
     bos_token: Optional[int] = None,
     with_conditionings: bool = False,
     fused="auto",
+    ring_quant: bool = False,
 ):
     """Return a **jitted** ``sampler(variables, rng[, conditionings])``.
 
@@ -305,7 +308,7 @@ def make_sampler(
                     model, variables, ordering, batch=batch,
                     conditionings=conditionings, temperature=temperature,
                     top_k=top_k, do_sample=do_sample, rng=rng,
-                    bos_token=bos_token,
+                    bos_token=bos_token, ring_quant=ring_quant,
                 )
 
         else:
@@ -316,6 +319,7 @@ def make_sampler(
                     model, variables, ordering, batch=batch,
                     temperature=temperature, top_k=top_k,
                     do_sample=do_sample, rng=rng, bos_token=bos_token,
+                    ring_quant=ring_quant,
                 )
 
         return sampler

@@ -79,6 +79,11 @@ class FusedDecodeConfig:
     ring: int = 0  # 0 → round window up to a multiple of 64
     quantize: bool = True
     state_dtype: Any = jnp.bfloat16  # FAVOR S accumulator storage
+    # int8 ring buffers with per-(slot, batch·head) scales: the rings
+    # are the largest per-step HBM stream (~176 MB at the paper shape);
+    # the scales fold into the score/probability tiles post-compaction
+    # (zero extra bandwidth)
+    ring_quant: bool = False
 
     @property
     def gh(self) -> int:
@@ -223,18 +228,55 @@ def init_fused_state(cfg: FusedDecodeConfig) -> Dict[str, jax.Array]:
         "z": jnp.zeros((L, cfg.batch * cfg.gh, cfg.nb_features), jnp.float32),
     }
     if cfg.local_heads:
-        state["ck"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.bfloat16)
-        state["cv"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.bfloat16)
+        if cfg.ring_quant:
+            blh = cfg.batch * cfg.local_heads
+            state["ck"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.int8)
+            state["cv"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.int8)
+            state["ck_s"] = jnp.zeros((L, cfg.ring_size, blh), jnp.float32)
+            state["cv_s"] = jnp.zeros((L, cfg.ring_size, blh), jnp.float32)
+        else:
+            state["ck"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.bfloat16)
+            state["cv"] = jnp.zeros((L, cfg.ring_size, cfg.bl), jnp.bfloat16)
     return state
 
 
 def update_rings(state, k_all, v_all, t, cfg: FusedDecodeConfig):
     """In-place (scan-carry) insertion of the current token's rotated
-    keys/values: one contiguous dynamic_update_slice per ring."""
+    keys/values: one contiguous dynamic_update_slice per ring (plus the
+    per-(layer, batch·head) scale rows in int8 mode)."""
     if not cfg.local_heads:
         return state
     slot = jnp.mod(jnp.asarray(t, jnp.int32), cfg.ring_size)
     state = dict(state)
+    if cfg.ring_quant:
+        L = cfg.depth
+        blh = cfg.batch * cfg.local_heads
+        dh = cfg.dim_head
+
+        def quant_row(x):
+            xh = x.reshape(L, blh, dh)
+            s = jnp.max(jnp.abs(xh), axis=-1) / 127.0  # (L, blh)
+            s = jnp.maximum(s, 1e-8)
+            q = jnp.clip(
+                jnp.round(xh / s[..., None]), -127, 127
+            ).astype(jnp.int8)
+            return q.reshape(L, cfg.bl), s
+
+        kq, ks = quant_row(k_all)
+        vq, vs = quant_row(v_all)
+        state["ck"] = jax.lax.dynamic_update_slice(
+            state["ck"], kq[:, None, :], (0, slot, 0)
+        )
+        state["cv"] = jax.lax.dynamic_update_slice(
+            state["cv"], vq[:, None, :], (0, slot, 0)
+        )
+        state["ck_s"] = jax.lax.dynamic_update_slice(
+            state["ck_s"], ks[:, None, :], (0, slot, 0)
+        )
+        state["cv_s"] = jax.lax.dynamic_update_slice(
+            state["cv_s"], vs[:, None, :], (0, slot, 0)
+        )
+        return state
     state["ck"] = jax.lax.dynamic_update_slice(
         state["ck"], k_all[:, None, :].astype(jnp.bfloat16), (0, slot, 0)
     )
@@ -348,6 +390,10 @@ def fused_decode_step_ref(
             V = state["cv"][i].astype(jnp.float32)
             Qmat = qr.reshape(-1)[:, None] * _eye_mask(B * lh, dh).T
             s_ring = (K @ Qmat) * scale  # (R, Bl)
+            if cfg.ring_quant:
+                # same fold order as the kernel: dequant scale applied
+                # post-compaction
+                s_ring = s_ring * state["ck_s"][i]
             w_idx = jnp.arange(R)
             k_pos = t - 1 - jnp.mod(t - 1 - w_idx, R)
             valid = (k_pos >= 0) & (k_pos > t - Wn)
@@ -357,7 +403,8 @@ def fused_decode_step_ref(
             p_ring = jnp.exp(s_ring - mx[None, :])
             p_self = jnp.exp(s_self - mx)
             den_l = jnp.sum(p_ring, axis=0) + p_self
-            p_exp = p_ring @ _eye_mask(B * lh, dh)  # (R, BL)
+            p_eff = p_ring * state["cv_s"][i] if cfg.ring_quant else p_ring
+            p_exp = p_eff @ _eye_mask(B * lh, dh)  # (R, BL)
             o_flat = jnp.sum(p_exp * V, axis=0)
             o_flat = (o_flat + jnp.repeat(p_self, dh) * vl.reshape(-1)) / (
                 jnp.repeat(den_l, dh)
@@ -406,23 +453,25 @@ def _build_kernel(cfg: FusedDecodeConfig):
     Bg, Bl = B * gh, B * lh
     half = dh // 2
 
+    rq = cfg.ring_quant
+
     def kernel(*refs):
+        (t_ref, h_ref,
+         ln1_s, ln1_b, ln2_s, ln2_b,
+         wqkv_q, wqkv_s, wout_q, wout_s,
+         w1_q, w1_s, b1, w2_q, w2_s, b2, proj2,
+         S_in, z_in) = refs[:19]
+        rest = refs[19:]
         if lh:
-            (t_ref, h_ref,
-             ln1_s, ln1_b, ln2_s, ln2_b,
-             wqkv_q, wqkv_s, wout_q, wout_s,
-             w1_q, w1_s, b1, w2_q, w2_s, b2, proj2,
-             S_in, z_in, ck, cv,
-             h_out, S_out, z_out, k_out, v_out,
-             h_scratch) = refs
-        else:
-            (t_ref, h_ref,
-             ln1_s, ln1_b, ln2_s, ln2_b,
-             wqkv_q, wqkv_s, wout_q, wout_s,
-             w1_q, w1_s, b1, w2_q, w2_s, b2, proj2,
-             S_in, z_in,
-             h_out, S_out, z_out,
-             h_scratch) = refs
+            ck, cv = rest[0], rest[1]
+            rest = rest[2:]
+            if rq:
+                cks, cvs = rest[0], rest[1]
+                rest = rest[2:]
+        h_out, S_out, z_out = rest[0], rest[1], rest[2]
+        if lh:
+            k_out, v_out = rest[3], rest[4]
+        h_scratch = rest[-1]
 
         i = pl.program_id(0)
 
@@ -556,6 +605,10 @@ def _build_kernel(cfg: FusedDecodeConfig):
                 kq.astype(jnp.bfloat16), ElT,
                 preferred_element_type=jnp.float32,
             ) * att_scale  # (R, Bl)
+            if rq:
+                # int8 dequant scale is constant within each head's
+                # dh-lane block → folds exactly post-compaction
+                s_ring = s_ring * cks[0]
             w_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             k_pos = t - 1 - jnp.mod(t - 1 - w_idx, R)
             valid = (k_pos >= 0) & (k_pos > t - Wn)
@@ -570,8 +623,9 @@ def _build_kernel(cfg: FusedDecodeConfig):
             p_ring = jnp.exp(s_ring - mx)  # (R, Bl)
             p_self = jnp.exp(s_self - mx)  # (1, Bl)
             den_l = jnp.sum(p_ring, axis=0, keepdims=True) + p_self
+            p_eff = p_ring * cvs[0] if rq else p_ring
             p_exp = jnp.dot(
-                p_ring.astype(jnp.bfloat16), El.astype(jnp.bfloat16),
+                p_eff.astype(jnp.bfloat16), El.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )  # (R, BL)
             o_flat = jnp.sum(p_exp * V.astype(jnp.float32), axis=0,
@@ -656,6 +710,8 @@ def make_fused_decode_step(cfg: FusedDecodeConfig, *, interpret: bool = False):
     ]
     if lh:
         in_specs += [layer_spec((R, Bl * dh)), layer_spec((R, Bl * dh))]
+        if cfg.ring_quant:
+            in_specs += [layer_spec((R, Bl)), layer_spec((R, Bl))]
         out_specs += [layer_spec((1, Bl * dh)), layer_spec((1, Bl * dh))]
         out_shapes += [
             jax.ShapeDtypeStruct((L, 1, Bl * dh), jnp.float32),
@@ -692,6 +748,8 @@ def make_fused_decode_step(cfg: FusedDecodeConfig, *, interpret: bool = False):
         args += [state["S"], state["z"]]
         if lh:
             args += [state["ck"], state["cv"]]
+            if cfg.ring_quant:
+                args += [state["ck_s"], state["cv_s"]]
         outs = call(*args)
         h_out, S, z = outs[0], outs[1], outs[2]
         new_state = dict(state)

@@ -213,3 +213,59 @@ def test_supports_fused_decode_gating():
                     dtype=jnp.bfloat16)
         base.update(kw)
         assert not supports_fused_decode(Performer(**base)), kw
+
+
+def test_kernel_interpret_matches_ref_int8_rings(setup, token_seq):
+    """int8 ring buffers (per-slot/head scales folded post-compaction):
+    kernel vs pure-JAX reference, same quantized state."""
+    model, variables, cfg, params = setup
+    cfgq = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=True, state_dtype=jnp.float32, ring_quant=True,
+    )
+    step = make_fused_decode_step(cfgq, interpret=True)
+    state_k = init_fused_state(cfgq)
+    state_r = init_fused_state(cfgq)
+    for t in range(8):
+        h = _embed(model, variables, token_seq[:, t], t)
+        hk, state_k, ka_k, va_k = step(params, state_k, h, t)
+        hr, state_r, ka_r, va_r = fused_decode_step_ref(
+            params, state_r, h, jnp.asarray(t), cfgq, use_quantized=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(hk), np.asarray(hr), rtol=3e-2, atol=3e-2
+        )
+        state_k = update_rings(state_k, ka_k, va_k, t, cfgq)
+        state_r = update_rings(state_r, ka_r, va_r, t, cfgq)
+    assert state_k["ck"].dtype == jnp.int8
+
+
+def test_int8_rings_close_to_bf16_rings(setup, token_seq):
+    """Quality guard: int8 rings vs bf16 rings on the reference path —
+    logit-level perturbation stays small."""
+    model, variables, cfg, params = setup
+    mk = dict(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=False, state_dtype=jnp.float32,
+    )
+    cfg_bf = FusedDecodeConfig(**mk)
+    cfg_i8 = FusedDecodeConfig(**mk, ring_quant=True)
+    st_bf, st_i8 = init_fused_state(cfg_bf), init_fused_state(cfg_i8)
+    for t in range(10):
+        h = _embed(model, variables, token_seq[:, t], t)
+        hb, st_bf, ka_b, va_b = fused_decode_step_ref(
+            params, st_bf, h, jnp.asarray(t), cfg_bf, use_quantized=False
+        )
+        hi, st_i8, ka_i, va_i = fused_decode_step_ref(
+            params, st_i8, h, jnp.asarray(t), cfg_i8, use_quantized=False
+        )
+        st_bf = update_rings(st_bf, ka_b, va_b, t, cfg_bf)
+        st_i8 = update_rings(st_i8, ka_i, va_i, t, cfg_i8)
+    lb = np.asarray(_head(model, variables, hb))
+    li = np.asarray(_head(model, variables, hi))
+    rel = np.abs(lb - li).max() / (np.abs(lb).std() + 1e-9)
+    assert rel < 0.1, rel
+    agree = (np.argmax(lb, -1) == np.argmax(li, -1)).mean()
+    assert agree >= 0.9, agree
