@@ -41,12 +41,14 @@ def make_synthesizer(
     do_sample: bool = True,
     with_conditionings: bool = False,
     decode_batch: int = 8,
+    ring_quant: bool = True,
 ):
     """Build the two-stage device-resident synthesis function."""
     sampler = make_sampler(
         performer, ordering, batch=batch, temperature=temperature,
         top_k=top_k, do_sample=do_sample,
         with_conditionings=with_conditionings,
+        ring_quant=ring_quant,
     )
     db = min(decode_batch, batch)
     while batch % db != 0:
