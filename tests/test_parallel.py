@@ -248,3 +248,91 @@ def test_local_attention_sequence_parallel_matches_single_device():
     )
     out = np.asarray(jax.jit(sp_fn)(q, k, v))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (GPipe fill-drain under shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _pp_setup():
+    from jax.sharding import Mesh
+
+    model = Performer(
+        num_tokens=17, max_seq_len=24, dim=32, depth=4, heads=2,
+        dim_head=8, local_attn_heads=1, local_window_size=6,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, (8, 20)), jnp.int32
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)}, x
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    return model, variables, x, mesh
+
+
+def test_pipeline_parallel_forward_matches_sequential():
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pipelined_apply,
+        stack_block_params,
+    )
+
+    model, variables, x, mesh = _pp_setup()
+    ref = np.asarray(model.apply(variables, x))
+
+    stacked_p, stacked_f = stack_block_params(model, variables)
+    pp_apply = jax.jit(make_pipelined_apply(model, mesh, n_microbatches=4))
+    out = np.asarray(pp_apply(variables, stacked_p, stacked_f, x))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_parallel_grads_match_sequential():
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pipelined_apply,
+        stack_block_params,
+    )
+
+    model, variables, x, mesh = _pp_setup()
+    stacked_p, stacked_f = stack_block_params(model, variables)
+    pp_apply = make_pipelined_apply(model, mesh, n_microbatches=4)
+
+    def loss_pp(sp):
+        return jnp.mean(
+            pp_apply(variables, sp, stacked_f, x).astype(jnp.float32) ** 2
+        )
+
+    def loss_seq(sp):
+        # rebuild per-block variables from the stacked tree
+        v = {"params": dict(variables["params"]), "favor": dict(variables["favor"])}
+        for i in range(model.depth):
+            v["params"][f"block_{i}"] = jax.tree.map(lambda a: a[i], sp)
+        return jnp.mean(model.apply(v, x).astype(jnp.float32) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked_p)
+    g_seq = jax.jit(jax.grad(loss_seq))(stacked_p)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_pipeline_parallel_bad_shapes_raise():
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pipelined_apply,
+        stack_block_params,
+    )
+
+    model, variables, x, mesh = _pp_setup()
+    stacked_p, stacked_f = stack_block_params(model, variables)
+    with pytest.raises(ValueError, match="microbatches"):
+        make_pipelined_apply(model, mesh, n_microbatches=3)(
+            variables, stacked_p, stacked_f, x
+        )
+    model5 = Performer(
+        num_tokens=17, max_seq_len=24, dim=32, depth=5, heads=2,
+        dim_head=8, nb_features=8, dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="stages"):
+        make_pipelined_apply(model5, mesh)
