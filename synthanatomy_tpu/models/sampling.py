@@ -36,6 +36,7 @@ __all__ = [
     "sample_fused",
     "sample_naive",
     "make_sampler",
+    "make_dp_sampler",
 ]
 
 
@@ -388,3 +389,59 @@ def sample_naive(
     for t in range(seq_len):
         tokens = step(tokens, t, step_rngs[t])
     return _grid_from_sequence(tokens[:, 1:], ordering)
+
+
+def make_dp_sampler(
+    model,
+    ordering: Ordering,
+    mesh,
+    *,
+    global_batch: int,
+    axis: str = "data",
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    do_sample: bool = True,
+    bos_token: Optional[int] = None,
+    fused="auto",
+    ring_quant: bool = True,
+):
+    """Data-parallel serving sampler: ``sampler(variables, rng)`` runs
+    one independent fused-decode sampling loop PER DEVICE of
+    ``mesh[axis]`` under ``shard_map`` (params replicated in, grids
+    gathered on the batch axis out).
+
+    This is how the Pallas decode kernel scales to multi-chip serving:
+    GSPMD cannot partition an opaque ``pallas_call``, but under
+    ``shard_map`` every device executes its own kernel instance on its
+    own batch shard over ICI-free, embarrassingly-parallel work —
+    aggregate throughput is N × the single-chip rate.  Each device's
+    RNG is folded with its mesh position so samples are independent.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if global_batch % n_dev != 0:
+        raise ValueError(
+            f"global_batch {global_batch} must divide over {n_dev} devices"
+        )
+    local_batch = global_batch // n_dev
+
+    def local_sample(variables, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        inner = make_sampler(
+            model, ordering, batch=local_batch, temperature=temperature,
+            top_k=top_k, do_sample=do_sample, bos_token=bos_token,
+            fused=fused, ring_quant=ring_quant,
+        )
+        return inner(variables, rng)
+
+    sampler = jax.jit(
+        jax.shard_map(
+            local_sample,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return sampler

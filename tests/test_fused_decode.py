@@ -269,3 +269,33 @@ def test_int8_rings_close_to_bf16_rings(setup, token_seq):
     assert rel < 0.1, rel
     agree = (np.argmax(lb, -1) == np.argmax(li, -1)).mean()
     assert agree >= 0.9, agree
+
+
+def test_make_dp_sampler_matches_per_device_runs(setup):
+    """shard_map DP serving: each device's grid equals an independent
+    single-device run with the device-folded RNG."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.sampling import make_dp_sampler, sample_fused
+
+    model, variables, cfg, params = setup
+    ordering = Ordering("raster_scan", 3, (2, 3, 2))
+    n_dev = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev), ("data",))
+    sampler = make_dp_sampler(
+        model, ordering, mesh, global_batch=n_dev * B, fused=True,
+        ring_quant=True, do_sample=True,
+    )
+    rng = jax.random.key(7)
+    grids = np.asarray(sampler(variables, rng))
+    assert grids.shape == (n_dev * B, 2, 3, 2)
+
+    for i in (0, 3):
+        solo = np.asarray(
+            sample_fused(
+                model, variables, ordering, batch=B,
+                rng=jax.random.fold_in(rng, i), ring_quant=True,
+            )
+        )
+        np.testing.assert_array_equal(grids[i * B : (i + 1) * B], solo)
