@@ -46,7 +46,10 @@ def _single_device(config: TransformerConfig) -> bool:
     return n == 1
 
 
-def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=None):
+def build_performer(
+    config: TransformerConfig, ordering, latent_shape, dtype=None,
+    force_pallas: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -94,10 +97,12 @@ def build_performer(config: TransformerConfig, ordering, latent_shape, dtype=Non
         # enable them when the step runs on a single device (multi-chip
         # uses the XLA paths, which partition cleanly)
         use_pallas_local=(
-            config.use_pallas_local_attn and _single_device(config)
+            config.use_pallas_local_attn
+            and (force_pallas or _single_device(config))
         ),
         use_pallas_favor=(
-            config.use_pallas_favor_attn and _single_device(config)
+            config.use_pallas_favor_attn
+            and (force_pallas or _single_device(config))
         ),
         attn_compute_dtype=(
             jnp.bfloat16
@@ -221,7 +226,28 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         logger.info(f"Restored checkpoint from {ckpt_path}")
 
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
-    step_fn = jax.jit(make_transformer_train_step(model, tx))
+    pure_dp = "model" not in mesh.shape or mesh.shape["model"] == 1
+    n_mesh_dev = int(np.prod(list(mesh.shape.values())))
+    if (
+        pure_dp
+        and n_mesh_dev > 1
+        and (config.use_pallas_local_attn or config.use_pallas_favor_attn)
+    ):
+        # pure-DP multi-chip: shard_map step keeps the Pallas attention
+        # kernels usable (one kernel instance per device; GSPMD can't
+        # partition the custom calls) — tested equal to the GSPMD step
+        from synthanatomy_tpu.train.transformer_steps import (
+            make_transformer_train_step_dp,
+        )
+
+        model_train = build_performer(
+            config, ordering, latent_shape, force_pallas=True
+        )
+        step_fn = jax.jit(
+            make_transformer_train_step_dp(model_train, tx, mesh)
+        )
+    else:
+        step_fn = jax.jit(make_transformer_train_step(model, tx))
     eval_fn = jax.jit(make_transformer_eval_step(model))
     tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
     tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)

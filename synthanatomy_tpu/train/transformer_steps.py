@@ -23,6 +23,7 @@ __all__ = [
     "TransformerTrainState",
     "create_transformer_train_state",
     "make_transformer_train_step",
+    "make_transformer_train_step_dp",
     "make_transformer_eval_step",
 ]
 
@@ -98,6 +99,62 @@ def make_transformer_train_step(model, tx: optax.GradientTransformation) -> Call
         return new_state, {**summaries, "Loss": loss}
 
     return step
+
+
+def make_transformer_train_step_dp(
+    model, tx: optax.GradientTransformation, mesh, *, axis: str = "data"
+) -> Callable:
+    """Data-parallel train step under ``shard_map`` (explicit
+    ``pmean`` of grads/metrics) instead of GSPMD.
+
+    Functionally identical to jitting :func:`make_transformer_train_step`
+    over a data mesh (tested equal), but because every device runs its
+    own complete program, the Pallas attention kernels stay usable —
+    GSPMD cannot partition the opaque custom calls, ``shard_map`` never
+    needs to.  Params/opt-state replicated in and out; batch sharded on
+    ``axis``; per-device dropout RNG is mesh-position-folded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def step(state, inputs, targets, conditionings, sched):
+        rng, drop_rng = jax.random.split(state.rng)
+        drop_rng = jax.random.fold_in(drop_rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "favor": state.favor},
+                inputs,
+                conditionings,
+                deterministic=False,
+                rngs={"dropout": drop_rng},
+            )
+            loss, summaries = ce_loss(logits, targets)
+            return loss, summaries
+
+        (loss, summaries), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        summaries = jax.lax.pmean(summaries, axis)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            sched["lr"], jnp.float32
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {**summaries, "Loss": loss}
+
+    data = P(axis)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), data, data, data, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
 
 
 def make_transformer_eval_step(model) -> Callable:

@@ -336,3 +336,46 @@ def test_pipeline_parallel_bad_shapes_raise():
     )
     with pytest.raises(ValueError, match="stages"):
         make_pipelined_apply(model5, mesh)
+
+
+def test_transformer_shard_map_dp_step_matches_gspmd():
+    """The shard_map DP train step (explicit pmean; the path that keeps
+    Pallas kernels usable multi-chip) must match the single-device /
+    GSPMD step exactly up to fp tolerance."""
+    from synthanatomy_tpu.train.transformer_steps import (
+        make_transformer_train_step_dp,
+    )
+
+    model = Performer(
+        num_tokens=9, max_seq_len=16, dim=16, depth=2, heads=4, dim_head=4,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 16, learning_rate=1e-3
+    )
+    inputs = jax.random.randint(jax.random.key(1), (8, 16), 0, 8)
+    targets = jax.random.randint(jax.random.key(2), (8, 16), 0, 8)
+
+    step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = make_mesh((8,), ("data",))
+    dp_step = make_transformer_train_step_dp(model, tx, mesh)
+    state_r = jax.device_put(state, replicated(mesh))
+    xi = jax.device_put(inputs, data_sharding(mesh, 2))
+    xt = jax.device_put(targets, data_sharding(mesh, 2))
+    out_state, out_metrics = jax.jit(dp_step)(
+        state_r, xi, xt, None, {"lr": 1e-3}
+    )
+
+    np.testing.assert_allclose(
+        float(out_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(out_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
