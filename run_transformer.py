@@ -88,6 +88,7 @@ def run(
     attn_compute_dtype: str = "bfloat16",
     use_pallas_local_attn: bool = True,
     use_pallas_favor_attn: bool = True,
+    use_int8_rings: bool = True,
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

@@ -293,6 +293,10 @@ class TransformerConfig:
     # fused Pallas FAVOR+ kernels (feature maps + causal prefix scan,
     # fwd + two-sweep bwd); ~1.4x the XLA path at the paper shape
     use_pallas_favor_attn: bool = True
+    # int8 local-head ring buffers in the fused decode kernel (+17%
+    # sampling; quality-guarded). The fused path already streams int8
+    # weights; set False for bf16 rings, fused=False for the exact path
+    use_int8_rings: bool = True
     donate_state: bool = True
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None

@@ -385,6 +385,7 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         top_k=config.top_k,
         do_sample=config.sample,
         with_conditionings=config.conditioning_num_tokens is not None,
+        ring_quant=config.use_int8_rings,
     )
 
     written: List[str] = []

@@ -334,3 +334,31 @@ def test_favor_attention_pallas_route_end_to_end():
 
     out_r = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
     np.testing.assert_allclose(out_p, out_r, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,chunk", [(5, 16), (32, 16), (21, 32)])
+def test_favor_fused_kernel_edge_lengths(n, chunk):
+    """Sequence shorter than / equal to / padded into the kernel chunk."""
+    from synthanatomy_tpu.ops.favor_pallas import favor_attention_fused
+
+    key = jax.random.key(31)
+    b, h, d, m = 1, 2, 8, 16
+    q, k, v = jax.random.normal(key, (3, b, h, n, d))
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(32), m, d)
+    ref = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
+    out = np.asarray(favor_attention_fused(q, k, v, proj, chunk, True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_local_attention_flash_window_longer_than_sequence():
+    from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
+
+    key = jax.random.key(33)
+    q, k, v = jax.random.normal(key, (3, 1, 2, 5, 8))
+    ref = np.asarray(local_attention(q, k, v, window=8))
+    out = np.asarray(
+        local_attention_flash(
+            q, k, v, window=8, interpret=True, compute_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

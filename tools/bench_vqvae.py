@@ -101,6 +101,20 @@ def main():
             np.random.default_rng(1).uniform(size=(batch,) + shape + (1,)).astype(np.float32),
             dev,
         )
+        from synthanatomy_tpu.losses import vqvae as vqvae_losses
+        lpips_params = None
+        if vqvae_losses.loss_needs_lpips(loss):
+            from synthanatomy_tpu.losses.lpips import init_lpips_params
+            with jax.default_device(cpu):
+                lpips_params = init_lpips_params(
+                    jax.random.key(7),
+                    "squeeze" if "baseline" in loss else "alex",
+                )
+            lpips_params = jax.device_put(lpips_params, dev)
+        step = (
+            step if lpips_params is None
+            else (lambda s, x, sc, _st=step: _st(s, x, sc, lpips_params))
+        )
         t0 = time.perf_counter()
         state, metrics = step(state, xb, sched)
         print(f"[train] compile+run {time.perf_counter() - t0:.1f}s "
