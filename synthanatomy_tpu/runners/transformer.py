@@ -244,10 +244,14 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
             config, ordering, latent_shape, force_pallas=True
         )
         step_fn = jax.jit(
-            make_transformer_train_step_dp(model_train, tx, mesh)
+            make_transformer_train_step_dp(model_train, tx, mesh),
+            donate_argnums=0 if config.donate_state else (),
         )
     else:
-        step_fn = jax.jit(make_transformer_train_step(model, tx))
+        step_fn = jax.jit(
+            make_transformer_train_step(model, tx),
+            donate_argnums=0 if config.donate_state else (),
+        )
     eval_fn = jax.jit(make_transformer_eval_step(model))
     tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
     tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)
@@ -279,7 +283,9 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                 xi = shard_batch(mesh, inputs)
                 xt = shard_batch(mesh, targets)
                 state, metrics = step_fn(state, xi, xt, conds, {"lr": lr})
-                epoch_loss += float(metrics["Loss"])
+                # accumulate on device — a float() here would sync the
+                # host to every step and serialize dispatch
+                epoch_loss = epoch_loss + metrics["Loss"]
                 n_it += 1
                 steps_since_redraw += 1
                 if (
@@ -291,7 +297,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                     state = state.replace(favor=new_vars["favor"])
                     steps_since_redraw = 0
 
-            epoch_loss /= max(n_it, 1)
+            epoch_loss = float(epoch_loss) / max(n_it, 1)
             history.append({"Loss": epoch_loss})
             if (epoch + 1) % config.log_every == 0 and config.rank == 0:
                 tb_train.scalars({"Loss-CE": epoch_loss, "lr": lr}, epoch + 1)

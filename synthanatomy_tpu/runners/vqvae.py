@@ -238,20 +238,19 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
 
     def build_step(train_generator: bool):
-        return jax.jit(
-            make_vqvae_train_step(
-                model, g_tx,
-                loss_name=config.loss,
-                d_model=d_model,
-                d_tx=d_tx,
-                generator_criterion=config.generator_loss,
-                discriminator_criterion=config.discriminator_loss,
-                use_adaptive_weight=config.use_adversarial_adaptive_weight,
-                adaptive_threshold=config.adaptive_adversarial_weight_threshold,
-                adaptive_value=config.adaptive_adversarial_weight_value,
-                train_generator=train_generator,
-            )
+        fun = make_vqvae_train_step(
+            model, g_tx,
+            loss_name=config.loss,
+            d_model=d_model,
+            d_tx=d_tx,
+            generator_criterion=config.generator_loss,
+            discriminator_criterion=config.discriminator_loss,
+            use_adaptive_weight=config.use_adversarial_adaptive_weight,
+            adaptive_threshold=config.adaptive_adversarial_weight_threshold,
+            adaptive_value=config.adaptive_adversarial_weight_value,
+            train_generator=train_generator,
         )
+        return jax.jit(fun, donate_argnums=0 if config.donate_state else ())
 
     finetune_gate = config.finetune_adversarial_component is not None
     g_frozen = finetune_gate
@@ -312,10 +311,10 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 global_step += 1
                 n_it += 1
                 for k, v in metrics.items():
-                    try:
-                        epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
-                    except (TypeError, ValueError):
-                        pass
+                    # accumulate scalars on device (float() here would
+                    # sync the host to every step)
+                    if getattr(v, "ndim", 1) == 0 or isinstance(v, (int, float)):
+                        epoch_metrics[k] = epoch_metrics.get(k, 0.0) + v
                 # finetune gate (AdversarialFinetuneHandler semantics)
                 if g_frozen and "Loss-Discriminator-Total" in metrics:
                     lo, hi = config.finetune_adversarial_component
@@ -328,7 +327,9 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                         step_fn = build_step(True)
                         logger.info("Finetune gate released: generator training on")
 
-            epoch_metrics = {k: v / max(n_it, 1) for k, v in epoch_metrics.items()}
+            epoch_metrics = {
+                k: float(v) / max(n_it, 1) for k, v in epoch_metrics.items()
+            }
             if (epoch + 1) % config.log_every == 0 and config.rank == 0:
                 epoch_metrics.update(device_memory_summary())
                 tb_train.scalars(epoch_metrics, epoch + 1)
