@@ -265,6 +265,10 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
     best_metric = np.inf
     redraw_key = jax.random.key(config.seed + 1234)
     steps_since_redraw = 0
+    from synthanatomy_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler()
+    global_step = 0
 
     with jax.set_mesh(mesh):
         for epoch in range(max(starting_epoch, 0), config.epochs):
@@ -282,7 +286,9 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                 )
                 xi = shard_batch(mesh, inputs)
                 xt = shard_batch(mesh, targets)
-                state, metrics = step_fn(state, xi, xt, conds, {"lr": lr})
+                with profiler.step(global_step):
+                    state, metrics = step_fn(state, xi, xt, conds, {"lr": lr})
+                global_step += 1
                 # accumulate on device — a float() here would sync the
                 # host to every step and serialize dispatch
                 epoch_loss = epoch_loss + metrics["Loss"]
@@ -334,6 +340,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                         dirs["checkpoint_directory"], jax.device_get(state), -val_ce
                     )
 
+    profiler.close()
     host_state = jax.device_get(state)
     C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
     tb_train.close()
