@@ -391,15 +391,39 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         logger.info(f"Loaded checkpoint {ckpt_path}")
     variables = {"params": state.params, "favor": state.favor}
 
-    sampler = make_sampler(
-        model, ordering,
-        batch=config.eval_batch_size,
-        temperature=config.temperature,
-        top_k=config.top_k,
-        do_sample=config.sample,
-        with_conditionings=config.conditioning_num_tokens is not None,
-        ring_quant=config.use_int8_rings,
+    n_dev = jax.device_count()
+    use_dp_sampler = (
+        n_dev > 1
+        and config.conditioning_num_tokens is None
+        and config.eval_batch_size % n_dev == 0
     )
+    if use_dp_sampler:
+        # multi-chip serving: one fused-decode program per device under
+        # shard_map (batch sharded, N× aggregate throughput)
+        from jax.sharding import Mesh
+
+        from synthanatomy_tpu.models.sampling import make_dp_sampler
+
+        dp_mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
+        sampler = make_dp_sampler(
+            model, ordering, dp_mesh,
+            global_batch=config.eval_batch_size,
+            temperature=config.temperature,
+            top_k=config.top_k,
+            do_sample=config.sample,
+            ring_quant=config.use_int8_rings,
+        )
+        logger.info(f"DP sampler over {n_dev} devices")
+    else:
+        sampler = make_sampler(
+            model, ordering,
+            batch=config.eval_batch_size,
+            temperature=config.temperature,
+            top_k=config.top_k,
+            do_sample=config.sample,
+            with_conditionings=config.conditioning_num_tokens is not None,
+            ring_quant=config.use_int8_rings,
+        )
 
     written: List[str] = []
     key = jax.random.key(config.seed)
