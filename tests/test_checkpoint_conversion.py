@@ -202,3 +202,67 @@ def test_discriminator_conversion_reproduces_torch_outputs():
         t_out.permute(0, 2, 3, 4, 1).numpy(),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_vqvae_export_roundtrip():
+    """flax → torch state dict (export_checkpoint) → flax reproduces
+    the identical tree: the back-conversion is the exact inverse."""
+    from tools.export_checkpoint import export_vqvae_state_dict
+
+    torch.manual_seed(1)
+    tm = build_torch_vqvae().eval()
+    sd = {f"encoder.0.{k}": v for k, v in tm.encoder[0].state_dict().items()}
+    sd.update({f"decoder.0.{k}": v for k, v in tm.decoder[0].state_dict().items()})
+    sd["quantizer.0.impl.embedding.weight"] = tm.q_embedding.weight
+    sd["quantizer.0.impl.N"] = torch.zeros(N_EMBED)
+    sd["quantizer.0.impl.embed_avg"] = tm.q_embedding.weight.clone()
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, vq = convert_vqvae_state_dict(sd, n_levels=N_LEVELS, n_res_layers=N_RES)
+    sd_back = export_vqvae_state_dict(
+        params, vq, n_levels=N_LEVELS, n_res_layers=N_RES
+    )
+    assert set(sd_back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd_back[k], sd[k])
+
+    params2, vq2 = convert_vqvae_state_dict(
+        sd_back, n_levels=N_LEVELS, n_res_layers=N_RES
+    )
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(vq["level_0"].codebook), np.asarray(vq2["level_0"].codebook)
+    )
+
+
+def test_discriminator_export_roundtrip():
+    from tools.export_checkpoint import export_discriminator_state_dict
+
+    torch.manual_seed(2)
+    ndf, n_layers = 8, 3
+    seq = [nn.Conv3d(1, ndf, 4, 2, 1), nn.LeakyReLU(0.2, True)]
+    nf = 1
+    for n in range(1, n_layers):
+        prev, nf = nf, min(2**n, 8)
+        seq += [
+            nn.Conv3d(ndf * prev, ndf * nf, 4, 2, 1, bias=False),
+            nn.BatchNorm3d(ndf * nf),
+            nn.LeakyReLU(0.2, True),
+        ]
+    prev, nf = nf, min(2**n_layers, 8)
+    seq += [
+        nn.Conv3d(ndf * prev, ndf * nf, 4, 1, 1, bias=False),
+        nn.BatchNorm3d(ndf * nf),
+        nn.LeakyReLU(0.2, True),
+        nn.Conv3d(ndf * nf, 1, 4, 1, 1),
+    ]
+    tm = nn.Sequential(*seq).eval()
+    sd = {f"main.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, bs = convert_discriminator_state_dict(sd, n_layers=n_layers)
+    sd_back = export_discriminator_state_dict(params, bs, n_layers=n_layers)
+    assert set(sd_back) == {
+        k for k in sd if "num_batches_tracked" not in k
+    }
+    for k in sd_back:
+        np.testing.assert_array_equal(sd_back[k], sd[k])

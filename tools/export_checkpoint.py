@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Export synthanatomy_tpu parameters back to reference-layout torch
+state dicts — the exact inverse of ``tools/convert_checkpoint.py``.
+
+Lets models trained on TPU be loaded by the reference CUDA/torch
+codebase (module naming of ``BaselineVQVAE``, reference
+src/networks/vqvae/baseline.py:213-299, and ``BaselineDiscriminator``,
+src/networks/discriminator/baseline.py:41-84):
+
+- DHWIO conv kernels      → torch Conv3d (O, I, D, H, W)
+- DHWIO forward-oriented  → torch ConvTranspose3d (I, O, D, H, W)
+- VQState(codebook, cluster_size, embed_avg) → ``impl.embedding.weight``
+  / ``impl.N`` / ``impl.embed_avg`` (and ``impl.embedding_avg``-free —
+  the reference reads only those three buffers)
+- BatchNorm scale/bias + batch_stats → weight/bias/running stats
+
+Usage:
+  python tools/export_checkpoint.py vqvae <orbax-or-npz-in> out.pt \
+      [--n_levels=4 --n_res_layers=3]
+Library use: ``export_vqvae_state_dict`` / ``export_discriminator_state_dict``.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+__all__ = [
+    "export_vqvae_state_dict",
+    "export_discriminator_state_dict",
+]
+
+
+def _conv_w_inv(w: np.ndarray) -> np.ndarray:
+    """DHWIO → torch Conv3d (O, I, D, H, W)."""
+    return np.transpose(np.asarray(w), (4, 3, 0, 1, 2))
+
+
+def _convT_w_inv(w: np.ndarray) -> np.ndarray:
+    """DHWIO (forward orientation) → torch ConvTranspose3d (I, O, D, H, W)."""
+    return np.transpose(np.asarray(w), (3, 4, 0, 1, 2))
+
+
+def export_vqvae_state_dict(
+    params: Dict[str, Any],
+    vq: Dict[str, Any],
+    *,
+    n_levels: int,
+    n_res_layers: int,
+    use_subpixel_conv: bool = False,
+) -> Dict[str, np.ndarray]:
+    """(params, vq variables) → reference BaselineVQVAE state dict."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(prefix: str, entry: Dict[str, np.ndarray], transposed=False):
+        sd[f"{prefix}.weight"] = (
+            _convT_w_inv(entry["kernel"]) if transposed
+            else _conv_w_inv(entry["kernel"])
+        )
+        if "bias" in entry:
+            sd[f"{prefix}.bias"] = np.asarray(entry["bias"])
+
+    def put_res(prefix: str, entry: Dict[str, Any]):
+        put_conv(f"{prefix}.0", entry["TorchConv3d_0"])
+        put_conv(f"{prefix}.3", entry["TorchConv3d_1"])
+
+    for i in range(n_levels):
+        put_conv(f"encoder.0.{3 * i}", params[f"encoder_conv_{i}"])
+        for j in range(n_res_layers):
+            put_res(f"encoder.0.{3 * i + 2}.{j}", params[f"encoder_res_{i}_{j}"])
+    put_conv(f"encoder.0.{3 * n_levels}", params["encoder_out_conv"])
+
+    put_conv("decoder.0.0", params["decoder_in_conv"])
+    for i in range(n_levels):
+        base = 1 + 3 * i
+        for j in range(n_res_layers):
+            put_res(f"decoder.0.{base}.{j}", params[f"decoder_res_{i}_{j}"])
+        up_idx = base + 1
+        last = i == n_levels - 1
+        if last and use_subpixel_conv:
+            sp = params["decoder_subpixel"]
+            sd[f"decoder.0.{up_idx}.conv_block.weight"] = _conv_w_inv(sp["kernel"])
+            sd[f"decoder.0.{up_idx}.conv_block.bias"] = np.asarray(sp["bias"])
+        else:
+            put_conv(
+                f"decoder.0.{up_idx}", params[f"decoder_up_{i}"], transposed=True
+            )
+
+    state = vq["level_0"]
+    sd["quantizer.0.impl.embedding.weight"] = np.asarray(state.codebook, np.float32)
+    sd["quantizer.0.impl.N"] = np.asarray(state.cluster_size, np.float32)
+    sd["quantizer.0.impl.embed_avg"] = np.asarray(state.embed_avg, np.float32)
+    return sd
+
+
+def export_discriminator_state_dict(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    *,
+    n_layers: int = 3,
+) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(prefix: str, name: str):
+        entry = params[name]
+        sd[f"{prefix}.weight"] = _conv_w_inv(entry["kernel"])
+        if "bias" in entry:
+            sd[f"{prefix}.bias"] = np.asarray(entry["bias"])
+
+    def put_bn(prefix: str, name: str):
+        sd[f"{prefix}.weight"] = np.asarray(params[name]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(params[name]["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(batch_stats[name]["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(batch_stats[name]["var"])
+
+    put_conv("main.0", "conv_0")
+    idx = 2
+    for n in range(1, n_layers):
+        put_conv(f"main.{idx}", f"conv_{n}")
+        put_bn(f"main.{idx + 1}", f"norm_{n}")
+        idx += 3
+    put_conv(f"main.{idx}", f"conv_{n_layers}")
+    put_bn(f"main.{idx + 1}", f"norm_{n_layers}")
+    idx += 3
+    put_conv(f"main.{idx}", "conv_out")
+    return sd
+
+
+def main():
+    if len(sys.argv) < 4:
+        raise SystemExit(
+            "usage: export_checkpoint.py {vqvae|discriminator} "
+            "<checkpoint-dir-or-npz> out.pt [--n_levels=N --n_res_layers=M]"
+        )
+    kind, src, dst = sys.argv[1:4]
+    kwargs = {}
+    for tok in sys.argv[4:]:
+        if tok.startswith("--"):
+            k, v = tok[2:].split("=")
+            kwargs[k] = int(v) if v.isdigit() else v
+
+    import torch
+
+    if not src.endswith(".npz"):
+        raise SystemExit(
+            "CLI input must be the .npz layout written by "
+            "convert_checkpoint.py; for orbax checkpoint dirs use the "
+            "library functions (export_vqvae_state_dict / "
+            "export_discriminator_state_dict) with a restored state"
+        )
+    flat = dict(np.load(src))
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    params = tree["params"]
+    aux = tree.get("vq") or tree.get("batch_stats") or {}
+
+    if kind == "vqvae":
+        if not hasattr(aux.get("level_0", None), "codebook"):
+            from synthanatomy_tpu.ops.vq import VQState
+
+            lv = aux["level_0"]
+            aux = {"level_0": VQState(
+                codebook=lv["codebook"], cluster_size=lv["cluster_size"],
+                embed_avg=lv["embed_avg"],
+            )}
+        sd = export_vqvae_state_dict(
+            params, aux,
+            n_levels=int(kwargs.get("n_levels", 3)),
+            n_res_layers=int(kwargs.get("n_res_layers", 3)),
+            use_subpixel_conv=bool(kwargs.get("use_subpixel_conv", False)),
+        )
+    elif kind == "discriminator":
+        sd = export_discriminator_state_dict(
+            params, aux, n_layers=int(kwargs.get("n_layers", 3))
+        )
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, dst)
+    print(f"wrote {dst} ({len(sd)} tensors)")
+
+
+if __name__ == "__main__":
+    main()
