@@ -112,3 +112,16 @@ def test_conversion_with_conditioning_and_spatial():
     ).astype(np.float32)
     params = convert_performer_state_dict(sd, depth=DEPTH)
     assert "spatial_emb_0" in params and "conditioning_emb_0" in params
+
+
+def test_performer_export_roundtrip():
+    """flax → reference state dict (export_checkpoint) → flax is the
+    identity; the exported key set matches the reference naming."""
+    from tools.export_checkpoint import export_performer_state_dict
+
+    sd = _torch_sd()
+    params = convert_performer_state_dict(sd, depth=DEPTH)
+    sd_back = export_performer_state_dict(params, depth=DEPTH)
+    assert set(sd_back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd_back[k], sd[k])

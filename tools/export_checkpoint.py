@@ -32,6 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 __all__ = [
     "export_vqvae_state_dict",
     "export_discriminator_state_dict",
+    "export_performer_state_dict",
 ]
 
 
@@ -127,6 +128,63 @@ def export_discriminator_state_dict(
     put_bn(f"main.{idx + 1}", f"norm_{n_layers}")
     idx += 3
     put_conv(f"main.{idx}", "conv_out")
+    return sd
+
+
+def export_performer_state_dict(
+    params: Dict[str, Any],
+    *,
+    depth: int,
+) -> Dict[str, np.ndarray]:
+    """Performer flax params → performer-pytorch-style state dict with
+    the reference wrapper nesting (pre-LayerNorm: ``.0.fn.norm`` +
+    ``.0.fn.fn.`` attention, ``.1.fn.fn.fn.`` Chunk-wrapped FF) — the
+    inverse of ``convert_performer_checkpoint.py``.  Standard pre-LN
+    blocks only (ReZero/ScaleNorm variants raise)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def lin(prefix: str, entry: Dict[str, np.ndarray]):
+        sd[f"{prefix}.weight"] = np.transpose(np.asarray(entry["kernel"]))
+        if "bias" in entry:
+            sd[f"{prefix}.bias"] = np.asarray(entry["bias"])
+
+    sd["token_emb.weight"] = np.asarray(params["token_emb"]["embedding"])
+    if "abs_pos_emb" in params:
+        sd["pos_emb.emb.weight"] = np.asarray(params["abs_pos_emb"]["embedding"])
+    for k in sorted(params):
+        import re as _re
+
+        m = _re.match(r"spatial_emb_(\d+)$", k)
+        if m:
+            sd[f"spatial_position_emb.{m.group(1)}.emb.weight"] = np.asarray(
+                params[k]["embedding"]
+            )
+        m = _re.match(r"conditioning_emb_(\d+)$", k)
+        if m:
+            sd[f"conditioning_emb.{m.group(1)}.weight"] = np.asarray(
+                params[k]["embedding"]
+            )
+
+    for L in range(depth):
+        blk = params[f"block_{L}"]
+        if "g_attn" in blk or "norm_attn" not in blk:
+            raise NotImplementedError(
+                "export supports standard pre-LayerNorm blocks only"
+            )
+        p = f"performer.net.layers.{L}"
+        sd[f"{p}.0.fn.norm.weight"] = np.asarray(blk["norm_attn"]["scale"])
+        sd[f"{p}.0.fn.norm.bias"] = np.asarray(blk["norm_attn"]["bias"])
+        for name in ("to_q", "to_k", "to_v", "to_out"):
+            lin(f"{p}.0.fn.fn.{name}", blk["attn"][name])
+        sd[f"{p}.1.fn.norm.weight"] = np.asarray(blk["norm_ff"]["scale"])
+        sd[f"{p}.1.fn.norm.bias"] = np.asarray(blk["norm_ff"]["bias"])
+        lin(f"{p}.1.fn.fn.fn.w1", blk["ff"]["w1"])
+        lin(f"{p}.1.fn.fn.fn.w2", blk["ff"]["w2"])
+
+    sd["norm.weight"] = np.asarray(params["final_norm"]["scale"])
+    sd["norm.bias"] = np.asarray(params["final_norm"]["bias"])
+    if "to_out" in params:
+        lin("to_out", params["to_out"])
     return sd
 
 
