@@ -265,10 +265,12 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
     best_metric = np.inf
     redraw_key = jax.random.key(config.seed + 1234)
     steps_since_redraw = 0
+    from synthanatomy_tpu.utils.general import PreemptionGuard
     from synthanatomy_tpu.utils.profiling import StepProfiler
 
     profiler = StepProfiler()
     global_step = 0
+    guard = PreemptionGuard(logger)
 
     with jax.set_mesh(mesh):
         for epoch in range(max(starting_epoch, 0), config.epochs):
@@ -312,10 +314,13 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                     f"({time.time() - t0:.1f}s)"
                 )
 
-            if (epoch + 1) % config.checkpoint_every == 0:
+            if (epoch + 1) % config.checkpoint_every == 0 or guard.should_stop:
                 C.save_checkpoint(
                     dirs["checkpoint_directory"], jax.device_get(state), epoch + 1
                 )
+            if guard.should_stop:
+                logger.warning(f"preempted: checkpointed at epoch {epoch + 1}")
+                break
 
             if val_loader and (epoch + 1) % config.eval_every == 0:
                 vlosses = []

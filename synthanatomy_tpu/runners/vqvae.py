@@ -205,6 +205,9 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
         config, "vqvae-training"
     )
     profiler = StepProfiler()
+    from synthanatomy_tpu.utils.general import PreemptionGuard
+
+    guard = PreemptionGuard(logger)
     shard_id, num_shards = host_shard_info()
     loaders = _make_loaders(config, "training", shard_id, num_shards)
     epoch_length = config.training_epoch_length or len(loaders["train"])
@@ -341,9 +344,12 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 )
             history.append(epoch_metrics)
 
-            if (epoch + 1) % config.checkpoint_every == 0:
+            if (epoch + 1) % config.checkpoint_every == 0 or guard.should_stop:
                 host_state = jax.device_get(state)
                 C.save_checkpoint(dirs["checkpoint_directory"], host_state, epoch + 1)
+            if guard.should_stop:
+                logger.warning(f"preempted: checkpointed at epoch {epoch + 1}")
+                break
 
             if "val" in loaders and (epoch + 1) % config.eval_every == 0:
 

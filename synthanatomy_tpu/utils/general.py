@@ -139,3 +139,52 @@ def uniform_sampling(
     out = f"{output_path}/uniform_quantized_conditioning.csv"
     pd.concat(samples).to_csv(out, index=False)
     return out
+
+
+class PreemptionGuard:
+    """Graceful-preemption checkpointing (beyond the reference, which
+    has checkpoint-resume only — SURVEY.md §5.3): installs SIGTERM/
+    SIGINT handlers that set a flag instead of killing the process, so
+    the training loop can finish the in-flight step, write an emergency
+    checkpoint at the next epoch boundary and exit cleanly.  TPU
+    preemptions (maintenance events, spot reclaims) deliver SIGTERM
+    with a grace window — this turns them into a resumable checkpoint
+    instead of a lost epoch.
+
+    Usage::
+
+        guard = PreemptionGuard(logger)
+        for epoch in ...:
+            ...train...
+            if guard.should_stop:
+                save_checkpoint(...); break
+    """
+
+    def __init__(self, logger=None, signals=None):
+        import signal as _signal
+
+        self.should_stop = False
+        self._logger = logger
+        self._prev = {}
+        for sig in signals or (_signal.SIGTERM,):
+            try:
+                self._prev[sig] = _signal.signal(sig, self._handler)
+            except (ValueError, OSError):
+                pass  # not the main thread / unsupported platform
+
+    def _handler(self, signum, frame):
+        self.should_stop = True
+        if self._logger is not None:
+            self._logger.warning(
+                f"signal {signum} received — checkpointing at the next "
+                "epoch boundary and exiting"
+            )
+
+    def restore(self):
+        import signal as _signal
+
+        for sig, prev in self._prev.items():
+            try:
+                _signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass

@@ -69,3 +69,18 @@ def test_tb_logger_disabled_is_noop(tmp_path):
     tb.scalars({"Loss": 1.0}, 0)
     tb.close()
     assert not os.path.exists(tmp_path / "tb2")
+
+
+def test_preemption_guard_sets_flag_and_restores():
+    import os
+    import signal
+
+    from synthanatomy_tpu.utils.general import PreemptionGuard
+
+    guard = PreemptionGuard()
+    assert not guard.should_stop
+    os.kill(os.getpid(), signal.SIGTERM)
+    # the handler runs before the next bytecode; a no-op call suffices
+    assert guard.should_stop
+    guard.restore()
+    assert signal.getsignal(signal.SIGTERM) not in (guard._handler,)
