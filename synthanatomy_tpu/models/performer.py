@@ -141,6 +141,11 @@ class PerformerAttention(nn.Module):
     # bfloat16 is the training-throughput lever; fp32 is bit-exact
     # with the incremental decode path.
     attn_compute_dtype: Any = jnp.float32
+    # set under shard_map sequence parallelism (parallel/
+    # sequence_parallel.py): attention runs the SP variants (prefix-
+    # state all_gather for FAVOR, halo exchange for local heads) over
+    # this mesh axis; the module then computes on an L-shard
+    sp_axis: Any = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -193,6 +198,42 @@ class PerformerAttention(nn.Module):
 
         gh = self.heads - self.local_heads
         outs = []
+        if self.sp_axis is not None:
+            from synthanatomy_tpu.ops.favor import (
+                favor_attention_sequence_parallel,
+            )
+            from synthanatomy_tpu.ops.local_attention import (
+                local_attention_sequence_parallel,
+            )
+
+            if self.causal is False or layer_rotary is not None:
+                raise NotImplementedError(
+                    "sequence parallelism supports causal attention "
+                    "without per-layer rotary"
+                )
+            if gh > 0:
+                outs.append(
+                    favor_attention_sequence_parallel(
+                        q[:, :gh], k[:, :gh], v[:, :gh], self._proj(),
+                        axis_name=self.sp_axis,
+                        generalized=self.generalized,
+                        chunk=self.scan_chunk,
+                        compute_dtype=self.attn_compute_dtype,
+                    )
+                )
+            if self.local_heads > 0:
+                outs.append(
+                    local_attention_sequence_parallel(
+                        q[:, gh:], k[:, gh:], v[:, gh:],
+                        window=self.local_window,
+                        axis_name=self.sp_axis,
+                        compute_dtype=self.attn_compute_dtype,
+                    )
+                )
+            out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+            out = self.to_out(out)
+            return self.drop(out, deterministic=deterministic)
         if gh > 0:
             outs.append(
                 favor_attention(
@@ -325,6 +366,7 @@ class PerformerBlock(nn.Module):
     favor_cache_dtype: Any
     attn_compute_dtype: Any
     dtype: Any
+    sp_axis: Any = None
 
     def setup(self):
         attn_cls = (
@@ -342,7 +384,8 @@ class PerformerBlock(nn.Module):
             use_pallas_local=self.use_pallas_local,
             use_pallas_favor=self.use_pallas_favor,
             favor_cache_dtype=self.favor_cache_dtype,
-            attn_compute_dtype=self.attn_compute_dtype, dtype=self.dtype,
+            attn_compute_dtype=self.attn_compute_dtype,
+            sp_axis=self.sp_axis, dtype=self.dtype,
             name="attn",
         )
         self.ff = FeedForward(

@@ -1,0 +1,203 @@
+"""Sequence-parallel (context-parallel) Performer training.
+
+Full train step with the SEQUENCE axis sharded over an ICI mesh axis —
+the hardware form of the long-context story (SURVEY.md §5.7): every
+device holds the whole (replicated) parameter set but only L/P of the
+tokens.  The attention ops do the only cross-device communication:
+
+- FAVOR+ heads: each shard reduces its (K·Vᵀ, ΣK) totals, one
+  ``all_gather`` of the O(m·d) states rides ICI, an exclusive prefix
+  sum seeds the local chunked scan (``favor_attention_sequence_parallel``);
+- local-window heads: one ``ppermute`` halo of the previous ``window``
+  keys/values (``local_attention_sequence_parallel``).
+
+Everything else (embeddings, LayerNorms, projections, FF, CE) is
+per-token and runs shard-locally; parameter gradients are ``psum``-ed.
+Exact: matches the single-device train step to fp tolerance
+(tests/test_parallel.py).
+
+Sequences are right-padded so the shard length divides the local
+window (the halo-exchange alignment requirement); padded positions are
+masked out of the loss.  Positional (+spatial) embeddings are
+precomputed as a full (L, D) table outside ``shard_map`` and sharded
+in, so every positional mode except per-layer rotary works unchanged.
+
+The reference has no equivalent — its long-context story is purely
+algorithmic (linear attention); DDP shards only the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["make_sp_train_step"]
+
+
+def _block_template(model, axis: str):
+    from synthanatomy_tpu.models.performer import PerformerBlock
+
+    return PerformerBlock(
+        model.dim, model.heads, model.dim_head, model.local_attn_heads,
+        model.local_window_size, model.nb_features, model.causal,
+        model.generalized_attention, model.ff_mult, model.ff_glu,
+        model.ff_dropout, model.attn_dropout, model.use_scalenorm,
+        model.use_rezero, model.qkv_bias, model.attn_out_bias,
+        model.scan_chunk, model.no_projection,
+        False,  # use_pallas_local (SP uses the XLA halo path)
+        False,  # use_pallas_favor
+        model.remat_attention,
+        model.favor_cache_dtype, model.attn_compute_dtype, model.dtype,
+        sp_axis=axis,
+    )
+
+
+def _const_pos_method(m, n):
+    """Constant (non-parameter) positional rows (n, D): the fixed
+    sinusoidal table and/or 'fixed' spatial coordinate embeddings.
+    Parameterized tables (absolute) are looked up INSIDE the loss so
+    their gradients flow."""
+    total = jnp.zeros((n, m.dim), jnp.float32)
+    if m.fixed_position_emb:
+        total = total + m._fixed_pos[:n]
+    if m.spatial_position_emb == "fixed":
+        total = total + m._spatial_pos_sum(n)[0].astype(jnp.float32)
+    return total
+
+
+def make_sp_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    seq_len: int,
+    *,
+    axis: str = "seq",
+) -> Callable:
+    """Build ``step(state, inputs, targets, sched) -> (state, metrics)``
+    training ``model`` with inputs (B, seq_len) sharded along the
+    sequence over ``mesh[axis]``.
+
+    Constraints: causal attention, no per-layer rotary, no conditioning
+    (the embedding prefix is token+positional only).  ``seq_len`` is
+    padded up so the shard length divides the local window.
+    """
+    if model.rotary_position_emb or model.axial_position_emb:
+        raise NotImplementedError(
+            "SP training supports absolute/fixed positional embeddings"
+        )
+    if model.spatial_position_emb == "absolute":
+        raise NotImplementedError(
+            "SP training supports spatial_position_emb='fixed' (the "
+            "'absolute' tables are params; use DP or single-device)"
+        )
+    if model.conditioning_num_tokens:
+        raise NotImplementedError("SP training: conditioning unsupported")
+    n_sh = mesh.shape[axis]
+    align = n_sh * (model.local_window_size if model.local_attn_heads else 1)
+    l_pad = -(-seq_len // align) * align
+    if l_pad > model.effective_seq_len:
+        raise ValueError(
+            f"padded sequence {l_pad} exceeds max_seq_len "
+            f"{model.effective_seq_len}; build the model with "
+            "max_seq_len >= the aligned length"
+        )
+    block = _block_template(model, axis)
+    depth = model.depth
+    eps = 1e-6
+
+    def inner(params, favor, inputs, targets, mask, pos_rows, sched, rng):
+        """Under shard_map: inputs/targets/mask (B, Ls); pos_rows
+        (Ls, D).  Returns (grads, loss, summaries) — grads psum-ed."""
+
+        ls = inputs.shape[1]
+
+        def loss_fn(p):
+            emb = p["token_emb"]["embedding"]
+            h = jnp.asarray(emb, model.dtype)[inputs]
+            if not model.fixed_position_emb:
+                table = p["abs_pos_emb"]["embedding"]
+                start = jax.lax.axis_index(axis) * ls
+                h = h + jax.lax.dynamic_slice_in_dim(
+                    table, start, ls, 0
+                ).astype(h.dtype)
+            h = h + pos_rows.astype(h.dtype)
+            for i in range(depth):
+                h = block.apply(
+                    {"params": p[f"block_{i}"], "favor": favor[f"block_{i}"]},
+                    h,
+                )
+            # final LayerNorm (same formula as nn.LayerNorm, eps 1e-6)
+            h32 = h.astype(jnp.float32)
+            mu = jnp.mean(h32, -1, keepdims=True)
+            var = jnp.mean(jnp.square(h32 - mu), -1, keepdims=True)
+            ln = p["final_norm"]
+            hn = (h32 - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+            if model.tie_embed:
+                logits = hn.astype(model.dtype) @ jnp.asarray(
+                    emb, model.dtype
+                ).T
+            else:
+                logits = (
+                    hn.astype(model.dtype) @ jnp.asarray(
+                        p["to_out"]["kernel"], model.dtype
+                    )
+                    + p["to_out"]["bias"]
+                )
+            logits = logits.astype(jnp.float32)
+            lse = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(lse, targets[..., None], axis=-1)[..., 0]
+            local_sum = jnp.sum(nll * mask)
+            total = jax.lax.psum(jnp.sum(mask), axis)
+            # LOCAL partial of the global mean — no forward psum over
+            # the numerator: under shard_map the transpose of psum is
+            # psum (not identity), so psum-ing the loss AND the grads
+            # would double-count by a factor of the axis size
+            return local_sum / total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(loss, axis)
+        return grads, loss
+
+    inner_sharded = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
+                  P(axis, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(state, inputs, targets, sched):
+        rng, drop_rng = jax.random.split(state.rng)
+        b, n = inputs.shape
+        if n > l_pad:
+            raise ValueError(f"sequence {n} exceeds padded capacity {l_pad}")
+        pad = l_pad - n
+        mask = jnp.pad(jnp.ones((b, n), jnp.float32), ((0, 0), (0, pad)))
+        inputs_p = jnp.pad(inputs, ((0, 0), (0, pad)))
+        targets_p = jnp.pad(targets, ((0, 0), (0, pad)))
+        pos_rows = model.apply(
+            {"params": state.params, "favor": state.favor},
+            l_pad,
+            method=_const_pos_method,
+        )
+        grads, loss = inner_sharded(
+            state.params, state.favor, inputs_p, targets_p, mask, pos_rows,
+            sched, drop_rng,
+        )
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            sched["lr"], jnp.float32
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {"Loss": loss}
+
+    return step

@@ -379,3 +379,86 @@ def test_transformer_shard_map_dp_step_matches_gspmd():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_sequence_parallel_train_step_matches_single_device():
+    """Full SP train step (sequence sharded over 4 devices, FAVOR
+    prefix-state all_gather + local halo exchange + psum grads) must
+    match the standard single-device step: loss and updated params."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    seq = 32  # 4 shards × window 8
+    model = Performer(
+        num_tokens=17, max_seq_len=seq, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3
+    )
+    # SGD instead of Adam: the params delta then IS the gradient
+    # (times lr), so the comparison pins gradient parity tightly
+    # without Adam's rsqrt amplifying fp reduction-order noise
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(3)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp_step = make_sp_train_step(model, tx, mesh, seq)
+    sp_state, sp_metrics = jax.jit(sp_step)(
+        state, inputs, targets, {"lr": 1e-3}
+    )
+
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(sp_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_sequence_parallel_train_step_with_padding():
+    """Unaligned sequence length: right-padding + CE mask must leave
+    the loss identical to the unpadded single-device step."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    seq = 27  # pads to 32 over 4 shards × window 8
+    model = Performer(
+        num_tokens=17, max_seq_len=40, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 40, learning_rate=1e-3
+    )
+    rng = np.random.default_rng(5)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp_step = make_sp_train_step(model, tx, mesh, seq)
+    _, sp_metrics = jax.jit(sp_step)(state, inputs, targets, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
