@@ -76,10 +76,13 @@ def make_sp_train_step(
     seq_len: int,
     *,
     axis: str = "seq",
+    data_axis: str = None,
 ) -> Callable:
     """Build ``step(state, inputs, targets, sched) -> (state, metrics)``
     training ``model`` with inputs (B, seq_len) sharded along the
-    sequence over ``mesh[axis]``.
+    sequence over ``mesh[axis]`` — and, when ``data_axis`` names a
+    second mesh axis, along the batch too (DP×SP: gradients reduce
+    over both axes).
 
     Constraints: causal attention, no per-layer rotary, no conditioning
     (the embedding prefix is token+positional only).  ``seq_len`` is
@@ -151,23 +154,27 @@ def make_sp_train_step(
             lse = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(lse, targets[..., None], axis=-1)[..., 0]
             local_sum = jnp.sum(nll * mask)
-            total = jax.lax.psum(jnp.sum(mask), axis)
+            total = jax.lax.psum(
+                jnp.sum(mask),
+                (axis,) if data_axis is None else (axis, data_axis),
+            )
             # LOCAL partial of the global mean — no forward psum over
             # the numerator: under shard_map the transpose of psum is
             # psum (not identity), so psum-ing the loss AND the grads
             # would double-count by a factor of the axis size
             return local_sum / total
 
+        red = (axis,) if data_axis is None else (axis, data_axis)
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.psum(grads, axis)
-        loss = jax.lax.psum(loss, axis)
+        grads = jax.lax.psum(grads, red)
+        loss = jax.lax.psum(loss, red)
         return grads, loss
 
+    bspec = P(data_axis, axis)
     inner_sharded = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
-                  P(axis, None), P(), P()),
+        in_specs=(P(), P(), bspec, bspec, bspec, P(axis, None), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

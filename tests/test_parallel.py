@@ -462,3 +462,48 @@ def test_sequence_parallel_train_step_with_padding():
     np.testing.assert_allclose(
         float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
     )
+
+
+def test_dp_x_sp_train_step_matches_single_device():
+    """2-D DP×SP mesh (batch AND sequence sharded): gradients reduce
+    over both axes and must match the single-device step."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    seq = 16  # 2 seq-shards × window 8
+    model = Performer(
+        num_tokens=17, max_seq_len=seq, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3
+    )
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(7)
+    inputs = jnp.asarray(rng.integers(0, 16, (4, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (4, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "seq"))
+    sp_step = make_sp_train_step(model, tx, mesh, seq, data_axis="data")
+    sp_state, sp_metrics = jax.jit(sp_step)(
+        state, inputs, targets, {"lr": 1e-3}
+    )
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(sp_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
