@@ -95,6 +95,7 @@ def make_pipelined_apply(
     axis: str = "pipe",
     n_microbatches: Optional[int] = None,
     remat_stage: bool = True,
+    data_axis: Optional[str] = None,
 ) -> Callable:
     """Build ``apply(variables, stacked_p, stacked_f, x) -> logits``
     running the block stack pipeline-parallel over ``mesh[axis]``.
@@ -102,7 +103,10 @@ def make_pipelined_apply(
     ``variables`` supplies the replicated embedding/head params;
     ``stacked_p``/``stacked_f`` are :func:`stack_block_params` outputs
     (shard their leading axis over ``axis``).  The batch must divide
-    into ``n_microbatches`` (default: the pipe size).
+    into ``n_microbatches`` (default: the pipe size).  ``data_axis``
+    additionally shards each microbatch over a second mesh axis
+    (PP×DP — the pipeline schedule is unchanged; every data shard runs
+    its own copy of it on its slice of the microbatch).
     """
     shard_map = jax.shard_map
 
@@ -151,11 +155,12 @@ def make_pipelined_apply(
         return jax.lax.psum(outs, axis)
 
     spec_stage = P(axis)  # prefix spec: leading (L,) axis over the pipe
+    spec_mb = P(None, data_axis)  # (M, mb, L, D): microbatch rows over DP
     pp_blocks_sharded = shard_map(
         pp_blocks,
         mesh=mesh,
-        in_specs=(spec_stage, spec_stage, P()),
-        out_specs=P(),
+        in_specs=(spec_stage, spec_stage, spec_mb),
+        out_specs=spec_mb,
         # per-device control flow (stage gating, zero-padded emits)
         # is intentionally unreplicated mid-pipeline
         check_vma=False,

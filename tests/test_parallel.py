@@ -507,3 +507,37 @@ def test_dp_x_sp_train_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
         )
+
+
+def test_pipeline_parallel_with_data_axis():
+    """PP×DP: 2×2 (pipe, data) mesh — microbatch rows shard over the
+    data axis while the fill-drain schedule runs over the pipe axis."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pipelined_apply,
+        stack_block_params,
+    )
+
+    model = Performer(
+        num_tokens=17, max_seq_len=24, dim=32, depth=2, heads=2,
+        dim_head=8, local_attn_heads=1, local_window_size=6,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, (8, 20)), jnp.int32
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)}, x
+    )
+    ref = np.asarray(model.apply(variables, x))
+
+    stacked_p, stacked_f = stack_block_params(model, variables)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("pipe", "data"))
+    pp_apply = jax.jit(
+        make_pipelined_apply(
+            model, mesh, n_microbatches=2, data_axis="data"
+        )
+    )
+    out = np.asarray(pp_apply(variables, stacked_p, stacked_f, x))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
