@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 # ---------------------------------------------------------------------------
 # enums-as-tuples (keep plain strings at the API surface like the reference)

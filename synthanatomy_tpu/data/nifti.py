@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import gzip
 import struct
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

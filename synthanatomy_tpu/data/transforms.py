@@ -15,7 +15,7 @@ the reference's per-rank ``set_determinism`` equivalent).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy import ndimage

@@ -20,7 +20,7 @@ Each returns jitted-friendly pure functions over (variables, inputs).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

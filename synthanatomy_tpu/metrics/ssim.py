@@ -11,7 +11,7 @@ weights, relu-clamped contrast terms, 2× avg-pool between scales.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

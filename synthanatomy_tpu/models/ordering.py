@@ -18,7 +18,7 @@ index template *before* linearization, in a configurable order):
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ layer over the same fused Pallas/XLA core as the production quantizer.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

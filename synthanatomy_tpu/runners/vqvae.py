@@ -16,7 +16,7 @@ reference's checkpoint / eval / logging cadences and output contracts:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 from bisect import bisect_right
-from typing import Callable, Dict, List, Sequence, Union
+from typing import Callable, List, Union
 
 __all__ = [
     "linear",
