@@ -388,11 +388,21 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         if config.conditioning_num_tokens
         else None
     )
+    # with a checkpoint to restore, skip the real init entirely: an
+    # eval_shape skeleton is a valid orbax restore target and avoids
+    # minutes of discarded host-CPU QR factorizations
     state, _ = create_transformer_train_state(
-        model, rng, seq_len, conditionings=conds0
+        model, rng, seq_len, conditionings=conds0, abstract=bool(ckpt_path)
     )
     if ckpt_path:
         state = C.load_checkpoint(ckpt_path, state)
+        if any(
+            isinstance(leaf, jax.ShapeDtypeStruct)
+            for leaf in jax.tree.leaves(state)
+        ):
+            raise ValueError(
+                f"checkpoint {ckpt_path} did not cover the full state"
+            )
         logger.info(f"Loaded checkpoint {ckpt_path}")
     variables = {"params": state.params, "favor": state.favor}
 
@@ -402,6 +412,19 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         and config.conditioning_num_tokens is None
         and config.eval_batch_size % n_dev == 0
     )
+    # stage the restored (host-resident, committed) checkpoint onto the
+    # accelerator(s): jit compiles for the committed device of its
+    # inputs, so without this the whole sampler would lower for CPU
+    if use_dp_sampler:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import Mesh as _Mesh
+
+        _m = _Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
+        variables = jax.device_put(
+            variables, NamedSharding(_m, PartitionSpec())
+        )
+    else:
+        variables = jax.device_put(variables, jax.devices()[0])
     if use_dp_sampler:
         # multi-chip serving: one fused-decode program per device under
         # shard_map (batch sharded, N× aggregate throughput)

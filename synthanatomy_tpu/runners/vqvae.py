@@ -461,6 +461,10 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
             state = C.load_checkpoint(ckpt_path, state)
             logger.info(f"Loaded checkpoint {ckpt_path}")
 
+        # stage the restored (host-committed) checkpoint onto the
+        # accelerator — jit compiles for the committed device of its
+        # inputs, so without this extraction would lower for CPU
+        state = jax.device_put(state, jax.devices()[0])
         variables = {"params": state.g_params, "vq": state.vq}
 
         @jax.jit
@@ -516,6 +520,7 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         )
         if ckpt_path:
             state = C.load_checkpoint(ckpt_path, state)
+        state = jax.device_put(state, jax.devices()[0])
         variables = {"params": state.g_params, "vq": state.vq}
 
         # patient-space orientation for decoded samples: latent .npy

@@ -43,26 +43,38 @@ def create_transformer_train_state(
     *,
     learning_rate: float = 1e-4,
     conditionings: Optional[Sequence[jax.Array]] = None,
+    abstract: bool = False,
 ) -> Tuple[TransformerTrainState, optax.GradientTransformation]:
+    """``abstract=True`` returns a ShapeDtypeStruct skeleton (via
+    ``jax.eval_shape`` — no compute) to use as a checkpoint-restore
+    target: the real init runs 24 layers of QR factorizations for the
+    FAVOR projections, minutes on one host core, all discarded when a
+    checkpoint overwrites them."""
     init_rng, favor_rng, state_rng = jax.random.split(rng, 3)
-    # init on host CPU (eager device dispatch through the TPU tunnel is
-    # minutes-slow for deep models)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+    def _build():
         x = jnp.zeros((1, min(seq_len, 16)), jnp.int32)
         variables = model.init(
             {"params": init_rng, "favor": favor_rng, "dropout": init_rng},
             x,
             conditionings,
         )
-        tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
-        state = TransformerTrainState(
+        return TransformerTrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             favor=variables.get("favor", {}),
             opt_state=tx.init(variables["params"]),
             rng=state_rng,
         )
+
+    if abstract:
+        return jax.eval_shape(_build), tx
+    # init on host CPU (eager device dispatch through the TPU tunnel is
+    # minutes-slow for deep models)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = _build()
     return state, tx
 
 

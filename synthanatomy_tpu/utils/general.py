@@ -10,6 +10,7 @@ helpers.  Folder structure / checkpoint discovery live in
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -73,6 +74,19 @@ def basic_initialization(config, logger_name: str):
 
     logger = setup_logger(logger_name, rank=config.rank)
     log_basic_info(config, logger)
+
+    # persistent XLA compilation cache: big-model compiles through the
+    # TPU tunnel take minutes; cache them across processes.  Default
+    # lives next to the package (shared with bench/tools/tests);
+    # override with SYNTHANATOMY_JAX_CACHE, disable with ''.
+    cache_dir = os.environ.get(
+        "SYNTHANATOMY_JAX_CACHE",
+        os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+        ),
+    )
+    if cache_dir and jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     dirs, starting_epoch = create_folder_structure(
         config.project_directory,
