@@ -1,0 +1,306 @@
+"""Manual Megatron-style tensor-parallel Performer training.
+
+GSPMD already tensor-shards the XLA attention paths
+(`sharding_rules.py`), but it cannot partition the opaque Pallas
+custom calls — so TP meshes previously fell back to the (slower) XLA
+attention.  This module runs the Megatron decomposition explicitly
+under ``shard_map``: every device owns H/P attention heads and 1/P of
+the FF hidden dim, applies its slice with the SAME modules (Pallas
+kernels included — each device's heads are an ordinary
+``PerformerAttention`` call), and one ``psum`` after the attention
+out-projection and one after the FF down-projection restore the
+replicated residual stream.  The optimizer state is sharded like the
+params (Megatron-style sharded Adam — 1/P of the moments per device).
+
+Head packing: the per-head qkv/out layout is [global..., local...], so
+a contiguous P-way column shard would give one device all-FAVOR heads
+and another all-local ones (config-dependent module structure — not
+SPMD-expressible).  :func:`pack_tp_params` permutes the head blocks to
+[g₀ l₀ | g₁ l₁ | ...] so every shard is a homogeneous gh/P + lh/P
+hybrid; :func:`unpack_tp_params` is the exact inverse (checkpoints
+stay in canonical layout).
+
+Gradient flow uses Megatron's conjugate ``f``/``g`` operators rather
+than raw psums (a raw ``psum``'s shard_map transpose is another psum,
+which would scale sharded-parameter gradients by P): ``f`` =
+psum-forward / identity-backward closes each column→row-parallel pair;
+``g`` = identity-forward / psum-backward opens it, so the cotangent
+entering the replicated region (LayerNorms, embeddings, residual
+stream) is the full cross-shard sum.  Pinned by gradient-parity tests
+against the single-device step.
+
+FF biases: w1's bias is hidden-sharded (exact); w2's replicated bias
+is added ONCE after the psum, in the replicated region, so its
+gradient is an ordinary replicated gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = [
+    "pack_tp_params",
+    "unpack_tp_params",
+    "make_tp_train_step",
+    "tp_param_specs",
+]
+
+
+def _head_perm(gh: int, lh: int, dh: int, n_shards: int) -> np.ndarray:
+    """Column permutation (size (gh+lh)·dh) mapping canonical
+    [g₀..g_gh, l₀..l_lh] head order to per-shard-interleaved
+    [g-chunk₀ l-chunk₀ | g-chunk₁ l-chunk₁ | ...]."""
+    gpp, lpp = gh // n_shards, lh // n_shards
+    order = []
+    for p in range(n_shards):
+        order += list(range(p * gpp, (p + 1) * gpp))
+        order += list(range(gh + p * lpp, gh + (p + 1) * lpp))
+    idx = np.asarray(order)
+    return (idx[:, None] * dh + np.arange(dh)[None, :]).reshape(-1)
+
+
+def pack_tp_params(model, params, n_shards: int):
+    """Permute attention head blocks for homogeneous TP shards (the
+    FF down-projection bias stays canonical — it is added once in the
+    replicated region, outside the psum)."""
+    gh = model.heads - model.local_attn_heads
+    lh = model.local_attn_heads
+    if gh % n_shards or (lh and lh % n_shards):
+        raise ValueError(
+            f"global heads {gh} and local heads {lh} must both divide "
+            f"into {n_shards} TP shards"
+        )
+    perm = _head_perm(gh, lh, model.dim_head, n_shards)
+    out = jax.tree.map(lambda x: x, params)  # shallow copy tree
+    new = dict(out)
+    for i in range(model.depth):
+        blk = dict(new[f"block_{i}"])
+        attn = dict(blk["attn"])
+        for name in ("to_q", "to_k", "to_v"):
+            e = dict(attn[name])
+            e["kernel"] = jnp.asarray(e["kernel"])[:, perm]
+            if "bias" in e:
+                e["bias"] = jnp.asarray(e["bias"])[perm]
+            attn[name] = e
+        o = dict(attn["to_out"])
+        o["kernel"] = jnp.asarray(o["kernel"])[perm, :]
+        attn["to_out"] = o
+        blk["attn"] = attn
+        new[f"block_{i}"] = blk
+    return new
+
+
+def unpack_tp_params(model, params, n_shards: int):
+    """Exact inverse of :func:`pack_tp_params`."""
+    gh = model.heads - model.local_attn_heads
+    lh = model.local_attn_heads
+    perm = _head_perm(gh, lh, model.dim_head, n_shards)
+    inv = np.argsort(perm)
+    new = dict(params)
+    for i in range(model.depth):
+        blk = dict(new[f"block_{i}"])
+        attn = dict(blk["attn"])
+        for name in ("to_q", "to_k", "to_v"):
+            e = dict(attn[name])
+            e["kernel"] = jnp.asarray(e["kernel"])[:, inv]
+            if "bias" in e:
+                e["bias"] = jnp.asarray(e["bias"])[inv]
+            attn[name] = e
+        o = dict(attn["to_out"])
+        o["kernel"] = jnp.asarray(o["kernel"])[inv, :]
+        attn["to_out"] = o
+        blk["attn"] = attn
+        new[f"block_{i}"] = blk
+    return new
+
+
+def tp_param_specs(params):
+    """PartitionSpec tree for the PACKED params: head/hidden dims over
+    'model', everything else replicated (matches sharding_rules.py)."""
+
+    def _one(path_tuple, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        if path.endswith(("to_q/kernel", "to_k/kernel", "to_v/kernel")):
+            return P(None, "model")
+        if path.endswith(("to_q/bias", "to_k/bias", "to_v/bias")):
+            return P("model")
+        if "attn/to_out/kernel" in path:
+            return P("model", None)
+        if path.endswith("ff/w1/kernel"):
+            return P(None, "model")
+        if path.endswith("ff/w1/bias"):
+            return P("model")
+        if path.endswith("ff/w2/kernel"):
+            return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(_one, params)
+
+
+def _make_f_g(axis: str):
+    """Megatron's conjugate collectives. ``f``: psum forward, identity
+    backward (the downstream cotangent is already replicated — the
+    true VJP of each shard's additive contribution is identity).
+    ``g``: identity forward, psum backward (the upstream cotangent is
+    the sum of every shard's partial)."""
+
+    @jax.custom_vjp
+    def f(x):
+        return jax.lax.psum(x, axis)
+
+    f.defvjp(lambda x: (jax.lax.psum(x, axis), None), lambda _, ct: (ct,))
+
+    @jax.custom_vjp
+    def g(x):
+        return x
+
+    g.defvjp(
+        lambda x: (x, None), lambda _, ct: (jax.lax.psum(ct, axis),)
+    )
+    return f, g
+
+
+def make_tp_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    axis: str = "model",
+    use_pallas: bool = False,
+) -> Callable:
+    """Build ``step(state, inputs, targets, sched) -> (state, metrics)``
+    with the Performer tensor-sharded over ``mesh[axis]``.
+
+    ``state.params`` must be the PACKED tree (:func:`pack_tp_params`)
+    placed with :func:`tp_param_specs` shardings (the optimizer state
+    follows the same specs — sharded Adam).  ``use_pallas=True`` runs
+    the per-device attention through the Pallas kernels (TPU only).
+    Restrictions: pre-LayerNorm blocks, no ReZero/ScaleNorm, no
+    dropout RNG (deterministic), no conditioning, no per-layer rotary.
+    """
+    from synthanatomy_tpu.models.performer import PerformerAttention
+
+    n_sh = mesh.shape[axis]
+    gh = model.heads - model.local_attn_heads
+    lh = model.local_attn_heads
+    if model.use_rezero or model.use_scalenorm:
+        raise NotImplementedError("TP step supports pre-LayerNorm blocks")
+    if model.rotary_position_emb or model.conditioning_num_tokens:
+        raise NotImplementedError("TP step: rotary/conditioning unsupported")
+    attn_local = PerformerAttention(
+        dim=model.dim,
+        heads=model.heads // n_sh,
+        dim_head=model.dim_head,
+        local_heads=lh // n_sh,
+        local_window=model.local_window_size,
+        nb_features=model.nb_features,
+        causal=model.causal,
+        generalized=model.generalized_attention,
+        qkv_bias=model.qkv_bias,
+        out_bias=False,  # replicated out-bias would psum P times
+        scan_chunk=model.scan_chunk,
+        no_projection=model.no_projection,
+        use_pallas_local=use_pallas,
+        use_pallas_favor=use_pallas,
+        attn_compute_dtype=model.attn_compute_dtype,
+        dtype=model.dtype,
+    )
+    if model.attn_out_bias:
+        raise NotImplementedError("TP step: attn_out_bias unsupported")
+    depth = model.depth
+    eps = 1e-6
+
+    def _ln(x, p):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+        return (
+            (x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+        ).astype(x.dtype)
+
+    f_op, g_op = _make_f_g(axis)
+
+    def inner(params, favor, inputs, targets, sched):
+        def loss_fn(p):
+            emb = jnp.asarray(p["token_emb"]["embedding"], model.dtype)
+            h = emb[inputs]
+            table = p["abs_pos_emb"]["embedding"]
+            h = h + jnp.asarray(table, model.dtype)[None, : h.shape[1]]
+            for i in range(depth):
+                blk = p[f"block_{i}"]
+                a = attn_local.apply(
+                    {
+                        "params": blk["attn"],
+                        "favor": favor[f"block_{i}"]["attn"],
+                    },
+                    g_op(_ln(h, blk["norm_attn"])),
+                )
+                h = h + f_op(a)
+                f = g_op(_ln(h, blk["norm_ff"]))
+                w1 = blk["ff"]["w1"]
+                w2 = blk["ff"]["w2"]
+                hid = jax.nn.gelu(
+                    jnp.dot(
+                        f, jnp.asarray(w1["kernel"], model.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + w1["bias"]
+                )
+                down = jnp.dot(
+                    hid.astype(model.dtype),
+                    jnp.asarray(w2["kernel"], model.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                # w2 bias is replicated: add it ONCE, after the psum
+                h = h + (f_op(down) + w2["bias"]).astype(h.dtype)
+            hn = _ln(h, p["final_norm"]).astype(jnp.float32)
+            if model.tie_embed:
+                logits = hn @ jnp.asarray(
+                    p["token_emb"]["embedding"], jnp.float32
+                ).T
+            else:
+                logits = (
+                    hn @ jnp.asarray(p["to_out"]["kernel"], jnp.float32)
+                    + p["to_out"]["bias"]
+                )
+            lse = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(lse, targets[..., None], axis=-1)[..., 0]
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return grads, loss
+
+    pspecs = None  # resolved lazily from the state's tree
+
+    def step(state, inputs, targets, sched):
+        nonlocal pspecs
+        if pspecs is None:
+            pspecs = tp_param_specs(state.params)
+        sharded = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(pspecs, P(), P(), P(), P()),
+            out_specs=(pspecs, P()),
+            check_vma=False,
+        )
+        grads, loss = sharded(
+            state.params, state.favor, inputs, targets, sched
+        )
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            sched["lr"], jnp.float32
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            rng=state.rng,
+        )
+        return new_state, {"Loss": loss}
+
+    return step

@@ -541,3 +541,93 @@ def test_pipeline_parallel_with_data_axis():
     )
     out = np.asarray(pp_apply(variables, stacked_p, stacked_f, x))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_train_step_matches_single_device():
+    """Manual Megatron TP step (head-packed params, f/g conjugate
+    collectives, sharded Adam) vs the single-device step: loss and
+    updated params (round-tripped through unpack) must match."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P2
+
+    from synthanatomy_tpu.parallel.tensor_parallel import (
+        make_tp_train_step,
+        pack_tp_params,
+        tp_param_specs,
+        unpack_tp_params,
+    )
+
+    seq = 24
+    model = Performer(
+        num_tokens=17, max_seq_len=seq, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3
+    )
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(11)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    n_sh = 2
+    mesh = Mesh(np.asarray(jax.devices()[:n_sh]).reshape(n_sh), ("model",))
+    packed = pack_tp_params(model, state.params, n_sh)
+    specs = tp_param_specs(packed)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    packed = jax.device_put(packed, shardings)
+    tp_state = state.replace(
+        params=packed,
+        opt_state=jax.tree.map(lambda x: x, tx.init(packed)),
+    )
+    tp_step = make_tp_train_step(model, tx, mesh)
+    tp_state2, tp_metrics = jax.jit(tp_step)(
+        tp_state, inputs, targets, {"lr": 1e-3}
+    )
+
+    np.testing.assert_allclose(
+        float(tp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    unpacked = unpack_tp_params(
+        model, jax.device_get(tp_state2.params), n_sh
+    )
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    got_leaves = jax.tree_util.tree_leaves_with_path(unpacked)
+    for (pa, a), (pb, b) in zip(got_leaves, ref_leaves):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_tp_pack_unpack_roundtrip():
+    from synthanatomy_tpu.parallel.tensor_parallel import (
+        pack_tp_params,
+        unpack_tp_params,
+    )
+
+    model = Performer(
+        num_tokens=9, max_seq_len=12, dim=16, depth=2, heads=4,
+        dim_head=4, local_attn_heads=2, local_window_size=4,
+        nb_features=8, dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    packed = pack_tp_params(model, variables["params"], 2)
+    back = unpack_tp_params(model, packed, 2)
+    for a, b in zip(
+        jax.tree.leaves(back), jax.tree.leaves(variables["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
