@@ -631,3 +631,36 @@ def test_tp_pack_unpack_roundtrip():
         jax.tree.leaves(back), jax.tree.leaves(variables["params"])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_tensor_parallel_step_use_pallas_flag_traces():
+    """use_pallas=True must build and run (kernels auto-fall back off
+    TPU, so CPU results equal the XLA path)."""
+    from jax.sharding import Mesh, NamedSharding
+
+    from synthanatomy_tpu.parallel.tensor_parallel import (
+        make_tp_train_step,
+        pack_tp_params,
+        tp_param_specs,
+    )
+
+    seq = 16
+    model = Performer(
+        num_tokens=17, max_seq_len=seq, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("model",))
+    packed = pack_tp_params(model, state.params, 2)
+    packed = jax.device_put(
+        packed,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), tp_param_specs(packed)),
+    )
+    state = state.replace(params=packed, opt_state=tx.init(packed))
+    step = jax.jit(make_tp_train_step(model, tx, mesh, use_pallas=True))
+    x = jnp.zeros((2, seq), jnp.int32)
+    _, metrics = step(state, x, x, {"lr": 1e-3})
+    assert np.isfinite(float(metrics["Loss"]))
