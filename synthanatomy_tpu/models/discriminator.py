@@ -106,4 +106,14 @@ class BaselineDiscriminator(nn.Module):
             1, kernel_size=4, stride=1, padding=1, dtype=self.dtype,
             name="conv_out",
         )(h)
+        if 0 in h.shape:
+            # torch raises "Output size is too small" here; XLA happily
+            # emits a zero-sized array whose mean is a silent NaN that
+            # poisons every adversarial loss — fail loudly instead
+            raise ValueError(
+                f"discriminator patch map is empty ({h.shape}) — input "
+                f"spatial dims {tuple(x.shape[1:4])} are too small for "
+                f"{self.n_layers} stride-2 k4 levels; use inputs of at "
+                "least ~(24, 24, 24) or fewer levels"
+            )
         return h

@@ -403,7 +403,7 @@ def make_dp_sampler(
     do_sample: bool = True,
     bos_token: Optional[int] = None,
     fused="auto",
-    ring_quant: bool = True,
+    ring_quant: bool = False,
 ):
     """Data-parallel serving sampler: ``sampler(variables, rng)`` runs
     one independent fused-decode sampling loop PER DEVICE of

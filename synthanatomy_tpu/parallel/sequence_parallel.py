@@ -56,16 +56,23 @@ def _block_template(model, axis: str):
     )
 
 
-def _const_pos_method(m, n):
+def _const_pos_method(m, n, k_pre=0):
     """Constant (non-parameter) positional rows (n, D): the fixed
     sinusoidal table and/or 'fixed' spatial coordinate embeddings.
     Parameterized tables (absolute) are looked up INSIDE the loss so
-    their gradients flow."""
+    their gradients flow.
+
+    ``k_pre`` > 0 ('prepending' conditioning): the sinusoidal table
+    indexes the full prepended sequence (the model adds pos_emb AFTER
+    the concat, performer.py __call__), while the spatial rows belong
+    to the token positions only and are therefore shifted right by the
+    prefix length."""
     total = jnp.zeros((n, m.dim), jnp.float32)
     if m.fixed_position_emb:
         total = total + m._fixed_pos[:n]
     if m.spatial_position_emb == "fixed":
-        total = total + m._spatial_pos_sum(n)[0].astype(jnp.float32)
+        sp = m._spatial_pos_sum(n - k_pre)[0].astype(jnp.float32)
+        total = total + jnp.pad(sp, ((k_pre, 0), (0, 0)))
     return total
 
 
@@ -78,14 +85,24 @@ def make_sp_train_step(
     axis: str = "seq",
     data_axis: str = None,
 ) -> Callable:
-    """Build ``step(state, inputs, targets, sched) -> (state, metrics)``
-    training ``model`` with inputs (B, seq_len) sharded along the
-    sequence over ``mesh[axis]`` — and, when ``data_axis`` names a
-    second mesh axis, along the batch too (DP×SP: gradients reduce
-    over both axes).
+    """Build ``step(state, inputs, targets, sched[, conds]) ->
+    (state, metrics)`` training ``model`` with inputs (B, seq_len)
+    sharded along the sequence over ``mesh[axis]`` — and, when
+    ``data_axis`` names a second mesh axis, along the batch too (DP×SP:
+    gradients reduce over both axes).
 
-    Constraints: causal attention, no per-layer rotary, no conditioning
-    (the embedding prefix is token+positional only).  ``seq_len`` is
+    Conditioning (reference performer.py:252-264) is supported in both
+    modes — the conditioning values are replicated (they are O(B·k)
+    ints) and only the shards owning the affected global positions act:
+
+    - ``bos_replacement``: the Σ-of-embeddings row replaces global
+      position 0, owned by shard 0;
+    - ``prepending``: the global sequence becomes [k conditioning
+      rows] + [L token rows]; the k prefix rows live at the head of
+      shard 0's segment, their logits are masked out of the CE.
+
+    Constraints: causal attention, no per-layer rotary, no dropout
+    (raise below), spatial_position_emb='fixed' only.  ``seq_len`` is
     padded up so the shard length divides the local window.
     """
     if model.rotary_position_emb or model.axial_position_emb:
@@ -97,11 +114,20 @@ def make_sp_train_step(
             "SP training supports spatial_position_emb='fixed' (the "
             "'absolute' tables are params; use DP or single-device)"
         )
-    if model.conditioning_num_tokens:
-        raise NotImplementedError("SP training: conditioning unsupported")
+    if model.emb_dropout or model.ff_dropout or model.attn_dropout:
+        raise NotImplementedError(
+            "SP training runs the blocks deterministically; dropout "
+            "(emb/ff/attn) is unsupported — use DP or single-device"
+        )
+    cond_type = (
+        model.conditioning_type if model.conditioning_num_tokens else "none"
+    )
+    n_cond = len(model.conditioning_num_tokens or ())
+    # number of prefix rows physically prepended to the sharded sequence
+    k_pre = n_cond if cond_type == "prepending" else 0
     n_sh = mesh.shape[axis]
     align = n_sh * (model.local_window_size if model.local_attn_heads else 1)
-    l_pad = -(-seq_len // align) * align
+    l_pad = -(-(seq_len + k_pre) // align) * align
     if l_pad > model.effective_seq_len:
         raise ValueError(
             f"padded sequence {l_pad} exceeds max_seq_len "
@@ -112,15 +138,41 @@ def make_sp_train_step(
     depth = model.depth
     eps = 1e-6
 
-    def inner(params, favor, inputs, targets, mask, pos_rows, sched, rng):
+    def inner(params, favor, inputs, targets, mask, pos_rows, conds, sched, rng):
         """Under shard_map: inputs/targets/mask (B, Ls); pos_rows
-        (Ls, D).  Returns (grads, loss, summaries) — grads psum-ed."""
+        (Ls, D); conds a (possibly empty) tuple of (B,) int arrays.
+        Returns (grads, loss) — both psum-ed."""
 
         ls = inputs.shape[1]
 
         def loss_fn(p):
             emb = p["token_emb"]["embedding"]
             h = jnp.asarray(emb, model.dtype)[inputs]
+            # --- conditioning injection (reference performer.py:252-264)
+            # before any positional addition.  bos_replacement replaces
+            # [token+spatial] at global position 0 — the spatial row at
+            # 0 is the BOS zero row, so replacing the token row here is
+            # the same math.  All shards compute the (tiny) embedding
+            # sum; only the owning shard's rows change, so the psum over
+            # parameter grads counts each table exactly once.
+            if cond_type == "bos_replacement":
+                c = jnp.zeros((h.shape[0], model.dim), jnp.float32)
+                for i in range(n_cond):
+                    tbl = p[f"conditioning_emb_{i}"]["embedding"]
+                    c = c + jnp.asarray(tbl, jnp.float32)[conds[i]]
+                own = jax.lax.axis_index(axis) == 0
+                row0 = jnp.where(own, c.astype(h.dtype), h[:, 0])
+                h = h.at[:, 0, :].set(row0)
+            elif cond_type == "prepending":
+                g0 = jax.lax.axis_index(axis) * ls
+                for j in range(n_cond):
+                    tbl = p[f"conditioning_emb_{j}"]["embedding"]
+                    row = jnp.asarray(tbl, model.dtype)[conds[j]]  # (B, D)
+                    local = jnp.clip(j - g0, 0, ls - 1)
+                    own = (j >= g0) & (j - g0 < ls)
+                    cur = jax.lax.dynamic_slice_in_dim(h, local, 1, 1)
+                    new = jnp.where(own, row[:, None], cur)
+                    h = jax.lax.dynamic_update_slice_in_dim(h, new, local, 1)
             if not model.fixed_position_emb:
                 table = p["abs_pos_emb"]["embedding"]
                 start = jax.lax.axis_index(axis) * ls
@@ -174,27 +226,43 @@ def make_sp_train_step(
     inner_sharded = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P(), bspec, bspec, bspec, P(axis, None), P(), P()),
+        in_specs=(
+            P(), P(), bspec, bspec, bspec, P(axis, None), P(data_axis),
+            P(), P(),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
-    def step(state, inputs, targets, sched):
+    def step(state, inputs, targets, sched, conds=None):
         rng, drop_rng = jax.random.split(state.rng)
         b, n = inputs.shape
-        if n > l_pad:
+        if n + k_pre > l_pad:
             raise ValueError(f"sequence {n} exceeds padded capacity {l_pad}")
-        pad = l_pad - n
-        mask = jnp.pad(jnp.ones((b, n), jnp.float32), ((0, 0), (0, pad)))
-        inputs_p = jnp.pad(inputs, ((0, 0), (0, pad)))
-        targets_p = jnp.pad(targets, ((0, 0), (0, pad)))
+        if (conds is None) != (cond_type == "none"):
+            raise ValueError(
+                f"model conditioning_type={cond_type!r} but conds "
+                f"{'missing' if conds is None else 'given'}"
+            )
+        pad = l_pad - n - k_pre
+        # 'prepending': k_pre placeholder columns head the global
+        # sequence (overwritten by conditioning rows inside the shards);
+        # their logits are masked out of the CE, matching the
+        # reference's strip of the first k output positions
+        mask = jnp.pad(
+            jnp.ones((b, n), jnp.float32), ((0, 0), (k_pre, pad))
+        )
+        inputs_p = jnp.pad(inputs, ((0, 0), (k_pre, pad)))
+        targets_p = jnp.pad(targets, ((0, 0), (k_pre, pad)))
         pos_rows = model.apply(
             {"params": state.params, "favor": state.favor},
             l_pad,
+            k_pre,
             method=_const_pos_method,
         )
         grads, loss = inner_sharded(
             state.params, state.favor, inputs_p, targets_p, mask, pos_rows,
+            tuple(conds) if conds is not None else (),
             sched, drop_rng,
         )
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(

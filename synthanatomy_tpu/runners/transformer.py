@@ -347,7 +347,12 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
 
     profiler.close()
     host_state = jax.device_get(state)
-    C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+    # after a preemption the loop broke at some epoch E < config.epochs;
+    # writing the final checkpoint_epoch=config.epochs name here would
+    # make auto-resume (starting_epoch=-1 → max epoch) believe training
+    # already completed and silently skip the remaining epochs
+    if not guard.should_stop:
+        C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
     tb_train.close()
     tb_val.close()
     return {"state": host_state, "history": history, "dirs": dirs, "ordering": ordering}

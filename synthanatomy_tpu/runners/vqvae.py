@@ -257,7 +257,24 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
     finetune_gate = config.finetune_adversarial_component is not None
     g_frozen = finetune_gate
-    gate_counter = 0
+    gate_counter = None
+    gate_check_every = 1
+    if finetune_gate:
+        gate_lo, gate_hi = config.finetune_adversarial_component
+
+        # the in-range streak counter lives on device: a float() on the
+        # D loss every step would host-sync and serialize dispatch for
+        # the entire finetune phase (AdversarialFinetuneHandler checks
+        # per iteration, src/handlers/vqvae.py:141-170 — same semantics,
+        # but the host only reads the counter every gate_check_every
+        # steps, so the release can land at most that many steps late)
+        @jax.jit
+        def gate_update(counter, d_loss):
+            in_range = (d_loss >= gate_lo) & (d_loss <= gate_hi)
+            return jnp.where(in_range, counter + 1, 0)
+
+        gate_counter = jnp.zeros((), jnp.int32)
+        gate_check_every = max(1, min(int(config.finetune_patience), 16))
     step_fn = build_step(not g_frozen)
     eval_step = jax.jit(make_vqvae_eval_step(model, loss_name=config.loss))
 
@@ -318,17 +335,28 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                     # sync the host to every step)
                     if getattr(v, "ndim", 1) == 0 or isinstance(v, (int, float)):
                         epoch_metrics[k] = epoch_metrics.get(k, 0.0) + v
-                # finetune gate (AdversarialFinetuneHandler semantics)
+                # finetune gate (AdversarialFinetuneHandler semantics);
+                # counter update is an async jitted op — only the
+                # periodic check below touches the host
                 if g_frozen and "Loss-Discriminator-Total" in metrics:
-                    lo, hi = config.finetune_adversarial_component
-                    if lo <= float(metrics["Loss-Discriminator-Total"]) <= hi:
-                        gate_counter += 1
-                    else:
-                        gate_counter = 0
-                    if gate_counter >= config.finetune_patience:
+                    gate_counter = gate_update(
+                        gate_counter, metrics["Loss-Discriminator-Total"]
+                    )
+                    if (
+                        n_it % gate_check_every == 0
+                        and int(gate_counter) >= config.finetune_patience
+                    ):
                         g_frozen = False
                         step_fn = build_step(True)
                         logger.info("Finetune gate released: generator training on")
+
+            # epoch-boundary gate check (one host sync per epoch) so a
+            # release never slips past an epoch end
+            if g_frozen and gate_counter is not None:
+                if int(gate_counter) >= config.finetune_patience:
+                    g_frozen = False
+                    step_fn = build_step(True)
+                    logger.info("Finetune gate released: generator training on")
 
             epoch_metrics = {
                 k: float(v) / max(n_it, 1) for k, v in epoch_metrics.items()
@@ -400,7 +428,12 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
     profiler.close()
     host_state = jax.device_get(state)
-    C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+    # skip the final checkpoint_epoch=config.epochs save on preemption:
+    # the loop broke at epoch E < config.epochs, and the final name would
+    # make auto-resume treat training as complete (epoch-E state was
+    # already checkpointed under its true epoch number above)
+    if not guard.should_stop:
+        C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
     tb_train.close()
     tb_val.close()
     tb_train_eval.close()

@@ -157,8 +157,9 @@ def uniform_sampling(
 
 class PreemptionGuard:
     """Graceful-preemption checkpointing (beyond the reference, which
-    has checkpoint-resume only — SURVEY.md §5.3): installs SIGTERM/
-    SIGINT handlers that set a flag instead of killing the process, so
+    has checkpoint-resume only — SURVEY.md §5.3): installs a SIGTERM
+    handler (by default; pass ``signals=(SIGTERM, SIGINT)`` to also
+    catch Ctrl-C) that sets a flag instead of killing the process, so
     the training loop can finish the in-flight step, write an emergency
     checkpoint at the next epoch boundary and exit cleanly.  TPU
     preemptions (maintenance events, spot reclaims) deliver SIGTERM

@@ -24,7 +24,7 @@ def project(tmp_path_factory):
     data_dir.mkdir()
     rng = np.random.default_rng(0)
     for i in range(4):
-        vol = rng.uniform(size=(16, 16, 16)).astype(np.float32)
+        vol = rng.uniform(size=(32, 32, 32)).astype(np.float32)
         save_nifti(str(data_dir / f"subj{i}.nii.gz"), vol)
     return {"root": str(root), "data": str(data_dir)}
 
@@ -72,6 +72,9 @@ def test_full_pipeline(project):
     assert any(n.startswith("checkpoint_epoch=") for n in os.listdir(ckdir))
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["Loss-Reconstruction-Total"])
+    # the discriminator patch map must be non-empty at this volume size
+    # (an empty map silently NaNs every adversarial loss)
+    assert np.isfinite(result["history"][-1]["Loss-Discriminator-Total"])
 
     # ---- stage 1: extracting -----------------------------------------
     flags_ex = dict(flags)
@@ -89,7 +92,7 @@ def test_full_pipeline(project):
     assert adv0.dtype == np.float32 and (adv0 >= 0).all()
     lat = np.load(os.path.join(outputs_dir, latents[0]))
     assert lat.dtype == np.uint16
-    assert lat.shape == (4, 4, 4)
+    assert lat.shape == (8, 8, 8)
     assert lat.max() < 16
     # augmentation trace CSV written
     logs_dir = os.path.join(project["root"], "e2e", "baseline_vqvae", "logs")
@@ -159,7 +162,7 @@ def test_full_pipeline(project):
     samples = [f for f in os.listdir(t_out) if f.endswith("_sample.npy")]
     assert len(samples) == 4
     samp = np.load(os.path.join(t_out, samples[0]))
-    assert samp.dtype == np.uint16 and samp.shape == (4, 4, 4)
+    assert samp.dtype == np.uint16 and samp.shape == (8, 8, 8)
     assert samp.max() < 16  # BOS token never emitted
 
     # ---- stage 1: decoding the sampled latents -----------------------
@@ -178,7 +181,7 @@ def test_full_pipeline(project):
     ]
     assert len(decoded) == 4
     img = load_nifti(os.path.join(outputs_dir, decoded[0]), as_closest_canonical=False)
-    assert img.data.shape == (16, 16, 16)
+    assert img.data.shape == (32, 32, 32)
     assert np.isfinite(img.data).all()
     src_aff = load_nifti(
         os.path.join(project["data"], "subj0.nii.gz"), as_closest_canonical=False

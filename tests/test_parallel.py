@@ -509,6 +509,101 @@ def test_dp_x_sp_train_step_matches_single_device():
         )
 
 
+@pytest.mark.parametrize("cond_type", ["bos_replacement", "prepending"])
+def test_sequence_parallel_conditioning_matches_single_device(cond_type):
+    """SP train step WITH conditioning (both reference injection modes,
+    performer.py:252-264): loss and gradient parity vs the
+    single-device step.  bos_replacement touches only shard 0's global
+    position 0; prepending extends the global sequence by k prefix
+    rows owned by shard 0."""
+    import optax
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    seq = 27 if cond_type == "prepending" else 32  # prepending: 27+2 → pads to 32
+    model = Performer(
+        num_tokens=17, max_seq_len=40, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        conditioning_num_tokens=(5, 3), conditioning_type=cond_type,
+    )
+    conds = [
+        jnp.asarray([1, 4], jnp.int32),
+        jnp.asarray([2, 0], jnp.int32),
+    ]
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), 40, learning_rate=1e-3,
+        conditionings=[c[:1] for c in conds],
+    )
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(11)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, conds, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp_step = make_sp_train_step(model, tx, mesh, seq)
+    sp_state, sp_metrics = jax.jit(sp_step)(
+        state, inputs, targets, {"lr": 1e-3}, conds
+    )
+
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    ref_leaves = jax.tree.leaves_with_path(ref_state.params)
+    sp_leaves = dict(jax.tree.leaves_with_path(sp_state.params))
+    for path, ref_leaf in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(sp_leaves[path]), np.asarray(ref_leaf),
+            rtol=1e-5, atol=1e-7, err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_sequence_parallel_missing_conds_raises():
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    model = Performer(
+        num_tokens=17, max_seq_len=32, dim=32, depth=1, heads=2,
+        dim_head=8, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        conditioning_num_tokens=(5,), conditioning_type="bos_replacement",
+    )
+    state, tx = create_transformer_train_state(
+        model, jax.random.key(0), 32,
+        conditionings=[jnp.asarray([1], jnp.int32)],
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("seq",))
+    step = make_sp_train_step(model, tx, mesh, 32)
+    inputs = jnp.zeros((2, 32), jnp.int32)
+    with pytest.raises(ValueError, match="conds missing"):
+        step(state, inputs, inputs, {"lr": 1e-3})
+
+
+def test_sequence_parallel_dropout_raises():
+    """Dropout would be silently deterministic under the SP step —
+    guard with an explicit error instead."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    model = Performer(
+        num_tokens=17, max_seq_len=32, dim=32, depth=1, heads=2,
+        dim_head=8, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        ff_dropout=0.1,
+    )
+    state, tx = create_transformer_train_state(model, jax.random.key(0), 32)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("seq",))
+    with pytest.raises(NotImplementedError, match="dropout"):
+        make_sp_train_step(model, tx, mesh, 32)
+
+
 def test_pipeline_parallel_with_data_axis():
     """PP×DP: 2×2 (pipe, data) mesh — microbatch rows shard over the
     data axis while the fill-drain schedule runs over the pipe axis."""
