@@ -89,6 +89,7 @@ def run(
     use_pallas_local_attn: bool = True,
     use_pallas_favor_attn: bool = True,
     use_int8_rings: bool = True,
+    zero1: bool = False,
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

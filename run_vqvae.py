@@ -110,6 +110,7 @@ def run(
     compute_dtype: str = "bfloat16",
     use_pallas_vq: bool = True,
     use_remat: bool = True,
+    zero1: bool = False,
 ):
     """Build the typed config and dispatch on ``mode``.  See
     VQVAEConfig for flag documentation (mirrors the reference's

@@ -153,6 +153,9 @@ class VQVAEConfig:
     use_pallas_vq: bool = True
     use_remat: bool = True
     donate_state: bool = True
+    # ZeRO-1: shard the Adam moments over the data axis (memory lever
+    # for many-chip DP; pure placement annotation under GSPMD)
+    zero1: bool = False
     # mutated-en-route fields (the reference mutates its config dict;
     # we keep them explicit)
     input_shape: Optional[Tuple[int, int, int]] = None
@@ -298,6 +301,8 @@ class TransformerConfig:
     # weights; set False for bf16 rings, fused=False for the exact path
     use_int8_rings: bool = True
     donate_state: bool = True
+    # ZeRO-1: shard the Adam moments over the data axis under pure DP
+    zero1: bool = False
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None
     conditioning_num_tokens: Optional[Tuple[int, ...]] = None

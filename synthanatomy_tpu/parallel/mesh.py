@@ -44,11 +44,14 @@ def make_mesh(
     if mesh_shape is None:
         mesh_shape = (n,) + (1,) * (len(axis_names) - 1)
     mesh_shape = tuple(int(s) for s in mesh_shape)
-    if int(np.prod(mesh_shape)) != n:
+    need = int(np.prod(mesh_shape))
+    if need > n:
         raise ValueError(
-            f"mesh_shape {mesh_shape} does not cover {n} devices"
+            f"mesh_shape {mesh_shape} needs {need} devices, have {n}"
         )
-    dev_array = np.asarray(devices).reshape(mesh_shape)
+    # an explicit smaller mesh uses the leading devices (debug meshes
+    # on many-device hosts)
+    dev_array = np.asarray(devices[:need]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names[: len(mesh_shape)])
 
 
@@ -60,9 +63,12 @@ def make_data_mesh_for_batch(
 ) -> Mesh:
     """Data-axis mesh whose size divides ``batch_size`` (uses the
     largest such device count) — keeps small debug batches runnable on
-    many-device hosts while using every device when batch allows."""
+    many-device hosts while using every device when batch allows.
+
+    An explicit 2-tuple ``mesh_shape`` builds a (data, model) mesh —
+    the ``--mesh_shape='(d,m)'`` CLI surface."""
     if mesh_shape is not None:
-        return make_mesh(mesh_shape, ("data",), devices=devices)
+        return make_mesh(mesh_shape, ("data", "model"), devices=devices)
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     while n > 1 and batch_size % n != 0:

@@ -22,6 +22,8 @@ __all__ = [
     "performer_param_spec",
     "param_shardings",
     "shard_params",
+    "opt_state_shardings",
+    "shard_transformer_state",
     "zero1_opt_state_shardings",
     "shard_opt_state_zero1",
 ]
@@ -75,6 +77,44 @@ def param_shardings(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
 
 def shard_params(mesh: Mesh, params: Any, spec_fn=performer_param_spec):
     return jax.device_put(params, param_shardings(mesh, params, spec_fn))
+
+
+def opt_state_shardings(
+    mesh: Mesh, tx, opt_state: Any, pshardings: Any
+):
+    """Sharding tree for an optax state: params-like leaves (Adam
+    moments) follow the parameter shardings (Megatron sharded Adam —
+    the update is elementwise, so GSPMD keeps it local); counts/
+    hyperparams replicated."""
+    import optax
+
+    repl = NamedSharding(mesh, P())
+    base = jax.tree.map(lambda _: repl, opt_state)
+    return optax.tree_map_params(
+        tx, lambda _, s: s, base, pshardings, transform_non_params=lambda x: x
+    )
+
+
+def shard_transformer_state(mesh: Mesh, tx, state, spec_fn=performer_param_spec):
+    """Place a TransformerTrainState for GSPMD tensor-parallel training:
+    params sharded per the Megatron rules, optimizer moments sharded
+    like their params, favor projections / step / rng replicated.
+
+    This is the wiring the CLI ``--mesh_shape='(d,m)'`` path uses — a
+    plain replicated device_put here would silently waste the model
+    axis (the params would be full-size on every device)."""
+    pshard = param_shardings(mesh, state.params, spec_fn)
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        params=jax.device_put(state.params, pshard),
+        opt_state=jax.device_put(
+            state.opt_state,
+            opt_state_shardings(mesh, tx, state.opt_state, pshard),
+        ),
+        favor=jax.device_put(state.favor, repl),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,8 +47,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = [
     "pack_tp_params",
     "unpack_tp_params",
+    "pack_tp_state",
+    "unpack_tp_state",
     "make_tp_train_step",
     "tp_param_specs",
+    "tp_step_compatible",
 ]
 
 
@@ -118,6 +121,75 @@ def unpack_tp_params(model, params, n_shards: int):
         blk["attn"] = attn
         new[f"block_{i}"] = blk
     return new
+
+
+def tp_step_compatible(model, n_shards: int):
+    """``(ok, reason)`` — whether :func:`make_tp_train_step` can train
+    this model config (the runner auto-selects it only when true and
+    falls back to the GSPMD path otherwise)."""
+    gh = model.heads - model.local_attn_heads
+    lh = model.local_attn_heads
+    if gh % n_shards or (lh and lh % n_shards):
+        return False, f"heads ({gh} global / {lh} local) not divisible by {n_shards}"
+    if model.use_rezero or model.use_scalenorm:
+        return False, "ReZero/ScaleNorm blocks"
+    if model.rotary_position_emb or model.fixed_position_emb or model.axial_position_emb:
+        return False, "non-learned positional embedding"
+    if model.spatial_position_emb:
+        return False, "spatial positional embeddings"
+    if model.conditioning_num_tokens:
+        return False, "conditioning"
+    if model.attn_out_bias:
+        return False, "attn_out_bias"
+    if model.emb_dropout or model.ff_dropout or model.attn_dropout:
+        return False, "dropout"
+    if model.ff_glu:
+        return False, "ff_glu"
+    if model.reversible:
+        return False, "reversible blocks"
+    return True, ""
+
+
+def pack_tp_state(model, state, n_shards: int):
+    """Pack a canonical TransformerTrainState for the manual TP step:
+    params AND optimizer moments get the head-block permutation
+    (moments are params-shaped, so the same permutation applies —
+    Adam's update is elementwise).  Checkpoints are written canonical;
+    this runs after restore, :func:`unpack_tp_state` before save."""
+    return state.replace(
+        params=pack_tp_params(model, state.params, n_shards),
+        opt_state=_permute_opt_state(model, state.opt_state, n_shards, pack=True),
+    )
+
+
+def unpack_tp_state(model, state, n_shards: int):
+    """Exact inverse of :func:`pack_tp_state` — checkpoints stay in
+    the canonical (reference-convertible) head layout."""
+    return state.replace(
+        params=unpack_tp_params(model, state.params, n_shards),
+        opt_state=_permute_opt_state(model, state.opt_state, n_shards, pack=False),
+    )
+
+
+def _permute_opt_state(model, opt_state, n_shards: int, *, pack: bool):
+    """Apply the head-block permutation to every params-shaped subtree
+    of an optax state (Adam mu/nu) — recognised as dicts carrying the
+    ``block_i`` keys — leaving counts/hyperparams untouched."""
+    fn = pack_tp_params if pack else unpack_tp_params
+
+    def _rec(node):
+        if isinstance(node, dict):
+            if any(str(k).startswith("block_") for k in node):
+                return fn(model, node, n_shards)
+            return {k: _rec(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            out = [_rec(v) for v in node]
+            return type(node)(*out) if hasattr(node, "_fields") else tuple(out)
+        if isinstance(node, list):
+            return [_rec(v) for v in node]
+        return node
+
+    return _rec(opt_state)
 
 
 def tp_param_specs(params):

@@ -226,12 +226,32 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         logger.info(f"Restored checkpoint from {ckpt_path}")
 
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
-    pure_dp = "model" not in mesh.shape or mesh.shape["model"] == 1
+    model_size = mesh.shape.get("model", 1)
+    pure_dp = model_size == 1
     n_mesh_dev = int(np.prod(list(mesh.shape.values())))
+    data_size = n_mesh_dev // model_size
+    want_pallas = config.use_pallas_local_attn or config.use_pallas_favor_attn
+    tp_manual = False
+    donate = 0 if config.donate_state else ()
+    if not pure_dp:
+        from synthanatomy_tpu.parallel.tensor_parallel import (
+            tp_step_compatible,
+        )
+
+        ok, why = tp_step_compatible(model, model_size)
+        # the manual Megatron shard_map step keeps the Pallas kernels
+        # (GSPMD cannot partition the custom calls) but covers pure-TP
+        # meshes and the plain-Performer config only
+        tp_manual = want_pallas and data_size == 1 and ok
+        if want_pallas and not tp_manual:
+            logger.info(
+                "manual TP step unavailable "
+                f"({why or 'DP×TP mesh'}); using GSPMD TP (XLA attention)"
+            )
     if (
         pure_dp
         and n_mesh_dev > 1
-        and (config.use_pallas_local_attn or config.use_pallas_favor_attn)
+        and want_pallas
     ):
         # pure-DP multi-chip: shard_map step keeps the Pallas attention
         # kernels usable (one kernel instance per device; GSPMD can't
@@ -245,12 +265,28 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         )
         step_fn = jax.jit(
             make_transformer_train_step_dp(model_train, tx, mesh),
-            donate_argnums=0 if config.donate_state else (),
+            donate_argnums=donate,
+        )
+    elif tp_manual:
+        from synthanatomy_tpu.parallel.tensor_parallel import (
+            make_tp_train_step,
+        )
+
+        tp_step = make_tp_train_step(
+            model, tx, mesh, use_pallas=want_pallas
+        )
+        step_fn = jax.jit(
+            lambda s, i, t, c, sched: tp_step(s, i, t, sched),
+            donate_argnums=donate,
+        )
+        logger.info(
+            f"manual Megatron TP step over {model_size} model shards "
+            f"(Pallas kernels per shard)"
         )
     else:
         step_fn = jax.jit(
             make_transformer_train_step(model, tx),
-            donate_argnums=0 if config.donate_state else (),
+            donate_argnums=donate,
         )
     eval_fn = jax.jit(make_transformer_eval_step(model))
     tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
@@ -260,7 +296,74 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
     if gamma == "auto":
         gamma = S.get_gamma(config.learning_rate, config.epochs, epoch_length)
 
-    state = jax.device_put(state, replicated(mesh))
+    # ---- state placement on the mesh ---------------------------------
+    # pure DP: replicated (grads psum).  GSPMD TP: params + Adam
+    # moments Megatron-sharded over 'model' (the previous replicated
+    # put silently wasted the model axis).  Manual TP: head-packed
+    # params/moments placed with the shard_map step's specs.
+    if tp_manual:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from synthanatomy_tpu.parallel.sharding_rules import opt_state_shardings
+        from synthanatomy_tpu.parallel.tensor_parallel import (
+            pack_tp_state,
+            tp_param_specs,
+            unpack_tp_params,
+            unpack_tp_state,
+        )
+
+        state = pack_tp_state(model, state, model_size)
+        pshard = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            tp_param_specs(state.params),
+            is_leaf=lambda x: isinstance(x, PartitionSpec),
+        )
+        state = state.replace(
+            params=jax.device_put(state.params, pshard),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_shardings(mesh, tx, state.opt_state, pshard),
+            ),
+            favor=jax.device_put(state.favor, replicated(mesh)),
+            step=jax.device_put(state.step, replicated(mesh)),
+            rng=jax.device_put(state.rng, replicated(mesh)),
+        )
+        _unpack_params = jax.jit(
+            lambda p: unpack_tp_params(model, p, model_size)
+        )
+        _unpack_state = jax.jit(
+            lambda s: unpack_tp_state(model, s, model_size)
+        )
+
+        def canonicalize(s):
+            """Device → host state in the canonical (checkpoint) head
+            layout (permutation runs jitted on device, not eagerly)."""
+            return jax.device_get(_unpack_state(s))
+
+        def eval_view(s):
+            return s.replace(params=_unpack_params(s.params))
+
+    elif not pure_dp:
+        from synthanatomy_tpu.parallel.sharding_rules import (
+            shard_transformer_state,
+        )
+
+        state = shard_transformer_state(mesh, tx, state)
+        canonicalize = jax.device_get
+        eval_view = lambda s: s  # noqa: E731
+    else:
+        state = jax.device_put(state, replicated(mesh))
+        if config.zero1 and n_mesh_dev > 1:
+            from synthanatomy_tpu.parallel.sharding_rules import (
+                shard_opt_state_zero1,
+            )
+
+            state = state.replace(
+                opt_state=shard_opt_state_zero1(mesh, state.opt_state)
+            )
+            logger.info(f"ZeRO-1: Adam moments sharded over {n_mesh_dev} devices")
+        canonicalize = jax.device_get
+        eval_view = lambda s: s  # noqa: E731
     history: List[Dict[str, float]] = []
     best_metric = np.inf
     redraw_key = jax.random.key(config.seed + 1234)
@@ -316,7 +419,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
 
             if (epoch + 1) % config.checkpoint_every == 0 or guard.should_stop:
                 C.save_checkpoint(
-                    dirs["checkpoint_directory"], jax.device_get(state), epoch + 1
+                    dirs["checkpoint_directory"], canonicalize(state), epoch + 1
                 )
             if guard.should_stop:
                 logger.warning(f"preempted: checkpointed at epoch {epoch + 1}")
@@ -324,6 +427,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
 
             if val_loader and (epoch + 1) % config.eval_every == 0:
                 vlosses = []
+                estate = eval_view(state)
                 for batch in val_loader.epoch(epoch):
                     inputs, targets = prepare_batch(
                         batch["latents"], ordering, config.vocab_size
@@ -333,7 +437,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                         if "conditionings" in batch
                         else None
                     )
-                    _, m = eval_fn(state, jnp.asarray(inputs), jnp.asarray(targets), conds)
+                    _, m = eval_fn(estate, jnp.asarray(inputs), jnp.asarray(targets), conds)
                     vlosses.append(float(m["Loss"]))
                 val_ce = float(np.mean(vlosses))
                 if config.rank == 0:
@@ -342,11 +446,11 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                 if val_ce < best_metric:
                     best_metric = val_ce
                     C.save_best_checkpoint(
-                        dirs["checkpoint_directory"], jax.device_get(state), -val_ce
+                        dirs["checkpoint_directory"], canonicalize(state), -val_ce
                     )
 
     profiler.close()
-    host_state = jax.device_get(state)
+    host_state = canonicalize(state)
     # after a preemption the loop broke at some epoch E < config.epochs;
     # writing the final checkpoint_epoch=config.epochs name here would
     # make auto-resume (starting_epoch=-1 → max epoch) believe training

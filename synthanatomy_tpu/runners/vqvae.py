@@ -312,6 +312,19 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
             return mae(recon, x), mse(recon, x), jnp.zeros(())
 
     state = jax.device_put(state, replicated(mesh))
+    n_mesh_dev = int(np.prod(list(mesh.shape.values())))
+    if config.zero1 and n_mesh_dev > 1:
+        from synthanatomy_tpu.parallel.sharding_rules import shard_opt_state_zero1
+
+        state = state.replace(
+            g_opt_state=shard_opt_state_zero1(mesh, state.g_opt_state),
+            d_opt_state=(
+                shard_opt_state_zero1(mesh, state.d_opt_state)
+                if state.d_opt_state is not None
+                else state.d_opt_state
+            ),
+        )
+        logger.info(f"ZeRO-1: Adam moments sharded over {n_mesh_dev} devices")
     history: List[Dict[str, float]] = []
     best_metric = -np.inf
     global_step = int(state.step)

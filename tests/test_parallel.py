@@ -28,8 +28,12 @@ def test_make_mesh_shapes():
     assert mesh.shape["data"] == 8
     mesh2 = make_mesh((2, 4))
     assert mesh2.shape == {"data": 2, "model": 4}
+    # a smaller explicit mesh uses the leading devices (debug meshes)
+    mesh3 = make_mesh((3, 2))
+    assert mesh3.shape == {"data": 3, "model": 2}
+    # over-subscription still raises
     with pytest.raises(ValueError):
-        make_mesh((3, 2))
+        make_mesh((3, 3))
 
 
 def test_vqvae_dp_train_step_sharded_equals_single_device():
