@@ -16,6 +16,12 @@ plugged into evaluators that decide *which* forward pass to run
   KV-cached sampling with temperature / top-k / multinomial.
 
 Each returns jitted-friendly pure functions over (variables, inputs).
+These are the production forward strategies: the extracting/decoding
+runners jit them directly (runners/vqvae.py), the transformer eval step
+wraps ``TransformerTrainingInferer`` and the sampling runner drives
+``TransformerInferenceInferer`` (DP serving uses
+``models.sampling.make_dp_sampler`` — a shard_map wrapper around the
+same sampler).
 """
 
 from __future__ import annotations
@@ -91,6 +97,8 @@ class TransformerInferenceInferer:
         temperature: float = 1.0,
         top_k: Optional[int] = None,
         with_conditionings: bool = False,
+        ring_quant: bool = False,
+        fused="auto",
     ):
         from synthanatomy_tpu.models.sampling import make_sampler
 
@@ -98,6 +106,7 @@ class TransformerInferenceInferer:
             model, ordering, batch=batch, do_sample=sample,
             temperature=temperature, top_k=top_k,
             with_conditionings=with_conditionings,
+            ring_quant=ring_quant, fused=fused,
         )
         self.with_conditionings = with_conditionings
 

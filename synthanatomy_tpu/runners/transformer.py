@@ -469,7 +469,6 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
     import jax.numpy as jnp
 
     from synthanatomy_tpu.data.datasets import PrefetchLoader
-    from synthanatomy_tpu.models.sampling import make_sampler
     from synthanatomy_tpu.train import checkpoints as C
     from synthanatomy_tpu.train.transformer_steps import create_transformer_train_state
     from synthanatomy_tpu.utils.general import basic_initialization
@@ -552,12 +551,16 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
         )
         logger.info(f"DP sampler over {n_dev} devices")
     else:
-        sampler = make_sampler(
+        # the reference inferer object (src/inferer/transformer.py:32-71)
+        # wrapping the compiled KV-cached sampler
+        from synthanatomy_tpu.inferers import TransformerInferenceInferer
+
+        sampler = TransformerInferenceInferer(
             model, ordering,
             batch=config.eval_batch_size,
             temperature=config.temperature,
             top_k=config.top_k,
-            do_sample=config.sample,
+            sample=config.sample,
             with_conditionings=config.conditioning_num_tokens is not None,
             ring_quant=config.use_int8_rings,
         )

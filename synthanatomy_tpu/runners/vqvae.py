@@ -489,9 +489,14 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         )
         criterion = get_criterion(config.generator_loss)
 
-    def _adv_maps(state, recon):
-        dv = {"params": state.d_params, "batch_stats": state.d_batch_stats}
-        logits = d_model.apply(dv, recon, training=False)
+    def _d_vars(state):
+        return (
+            {"params": state.d_params, "batch_stats": state.d_batch_stats}
+            if d_model is not None
+            else None
+        )
+
+    def _adv_from_logits(logits):
         return criterion(jnp.asarray(logits, jnp.float32), True)
 
     written: List[str] = []
@@ -513,12 +518,21 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         state = jax.device_put(state, jax.devices()[0])
         variables = {"params": state.g_params, "vq": state.vq}
 
+        # the forward-pass strategy object (reference inferer contract,
+        # src/inferer/vqvae.py:9-45) inside one jitted call
+        from synthanatomy_tpu.inferers import VQVAEExtractionInferer
+
+        inferer = VQVAEExtractionInferer(model, d_model)
+
         @jax.jit
         def extract(variables, state, x):
-            idx = model.apply(variables, x, method=model.index_quantize)
-            recon = model.apply(variables, idx, method=model.decode_samples)
-            adv = _adv_maps(state, recon) if d_model is not None else None
-            return idx[0], recon, adv
+            out = inferer(variables, x, _d_vars(state))
+            adv = (
+                _adv_from_logits(out["adversarial_logits"])
+                if d_model is not None
+                else None
+            )
+            return out["quantization_0"], out["reconstruction"][0], adv
 
         all_traces, all_paths = [], []
         for batch in loaders["train"].epoch(0):
@@ -584,11 +598,19 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
             )
             logger.info(f"Using affine from {config.decoding_affine}")
 
+        from synthanatomy_tpu.inferers import VQVAEDecodingInferer
+
+        inferer = VQVAEDecodingInferer(model, d_model)
+
         @jax.jit
         def decode(variables, state, idx):
-            recon = model.apply(variables, [idx], method=model.decode_samples)
-            adv = _adv_maps(state, recon) if d_model is not None else None
-            return recon, adv
+            out = inferer(variables, [idx], _d_vars(state))
+            adv = (
+                _adv_from_logits(out["adversarial_logits"])
+                if d_model is not None
+                else None
+            )
+            return out["sample"][0], adv
 
         for batch in loader.epoch(0):
             recon, adv = decode(

@@ -170,8 +170,12 @@ def make_transformer_train_step_dp(
 
 
 def make_transformer_eval_step(model) -> Callable:
+    from synthanatomy_tpu.inferers import TransformerTrainingInferer
+
+    inferer = TransformerTrainingInferer(model)
+
     def step(state, inputs, targets, conditionings):
-        logits = model.apply(
+        logits = inferer(
             {"params": state.params, "favor": state.favor}, inputs, conditionings
         )
         loss, summaries = ce_loss(logits, targets)
