@@ -329,6 +329,50 @@ def _bwd_impl(q, k, v, p, g, out_flat, den_flat, nc, chunk: int, interpret: bool
     return unflat(dq), unflat(dk), unflat(dv)
 
 
+# GSPMD-partitionable wrappers (see ops/partitioning.py): the scan is
+# independent per (batch, head) slice, so b/h shard freely (DP batch,
+# Megatron TP heads); the projection matrix is a shared weight and is
+# replicated.  The partition boundary keeps every tensor 4-D
+# (b, h, ..., .) so leading-dim shardings map cleanly; the flat
+# (b·h, L', .) kernel layout is a reshape inside the per-shard lowering.
+from synthanatomy_tpu.ops.partitioning import make_bh_partitioned
+
+
+def _fwd_part(q, k, v, p, chunk, interpret):
+    out, den, _nc = _fwd_impl(q, k, v, p, chunk, interpret)
+    b, h, _, d = q.shape
+    return out.reshape(b, h, -1, d), den.reshape(b, h, -1, 8)
+
+
+def _bwd_part(q, k, v, p, g, out4, den4, chunk, interpret):
+    b, h, _, d = q.shape
+    nc = out4.shape[2] // chunk
+    out_flat = out4.reshape(b * h, -1, d)
+    den_flat = den4.reshape(b * h, -1, 8)
+    return _bwd_impl(
+        q, k, v, p, g, out_flat, den_flat, nc, chunk, interpret
+    )
+
+
+_fwd_p = make_bh_partitioned(
+    _fwd_part,
+    n_operands=4,
+    static_argnums=(4, 5),
+    rule="b h l d, b h l d, b h l d, m e -> b h k d, b h k f",
+    replicated_argnums=(3,),
+)
+_bwd_p = make_bh_partitioned(
+    _bwd_part,
+    n_operands=7,
+    static_argnums=(7, 8),
+    rule=(
+        "b h l d, b h l d, b h l d, m e, b h l d, b h k d, b h k f -> "
+        "b h l d, b h l d, b h l d"
+    ),
+    replicated_argnums=(3,),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def favor_attention_fused(q, k, v, projection, chunk: int = 256,
                           interpret: bool = False):
@@ -338,22 +382,21 @@ def favor_attention_fused(q, k, v, projection, chunk: int = 256,
     ``favor_attention(..., stabilize_keys=False)`` exactly (zero key
     stabilizer).  The projection cotangent is zeros (non-trained buffer
     in the reference)."""
-    out, den, nc = _fwd_impl(q, k, v, projection, chunk, interpret)
-    b, h, n, d = q.shape
-    return out.reshape(b, h, -1, d)[:, :, :n]
+    out4, _den4 = _fwd_p(q, k, v, projection, chunk, interpret)
+    n = q.shape[2]
+    return out4[:, :, :n]
 
 
 def _vjp_fwd(q, k, v, projection, chunk, interpret):
-    out, den, nc = _fwd_impl(q, k, v, projection, chunk, interpret)
-    b, h, n, d = q.shape
-    o = out.reshape(b, h, -1, d)[:, :, :n]
-    return o, (q, k, v, projection, out, den, nc)
+    out4, den4 = _fwd_p(q, k, v, projection, chunk, interpret)
+    n = q.shape[2]
+    return out4[:, :, :n], (q, k, v, projection, out4, den4)
 
 
 def _vjp_bwd(chunk, interpret, res, g):
-    q, k, v, projection, out_flat, den_flat, nc = res
-    dq, dk, dv = _bwd_impl(
-        q, k, v, projection, g, out_flat, den_flat, nc, chunk, interpret
+    q, k, v, projection, out4, den4 = res
+    dq, dk, dv = _bwd_p(
+        q, k, v, projection, g, out4, den4, chunk, interpret
     )
     return (
         dq.astype(q.dtype),

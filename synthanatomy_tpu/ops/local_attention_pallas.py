@@ -188,15 +188,16 @@ def _block_specs(wp: int, d: int, nb: int):
     return cur, prev, bias
 
 
-def _forward(q, k, v, window: int, interpret: bool):
-    """q,k,v: (B, H, L, d) post-rotary, compute dtype.  → (B, H, L, d)."""
+def _forward(q, k, v, bias, window: int, interpret: bool):
+    """q,k,v: (B, H, L, d) post-rotary, compute dtype; bias the
+    (2, wp, 2wp) additive mask (an OPERAND, not a closure constant —
+    custom_partitioning rejects jaxpr consts).  → (B, H, L, d)."""
     b, h, n, d = q.shape
     wp = _round_up(window, 32)
     qf, nb = _bucketize(q, window, wp)
     kf, _ = _bucketize(k, window, wp)
     vf, _ = _bucketize(v, window, wp)
     bh = b * h
-    bias = jnp.asarray(_mask_bias(window, wp))
 
     cur, prev, bspec = _block_specs(wp, d, nb)
     out = pl.pallas_call(
@@ -217,7 +218,7 @@ def _forward(q, k, v, window: int, interpret: bool):
     return out
 
 
-def _backward(q, k, v, g, window: int, interpret: bool):
+def _backward(q, k, v, g, bias, window: int, interpret: bool):
     b, h, n, d = q.shape
     wp = _round_up(window, 32)
     qf, nb = _bucketize(q, window, wp)
@@ -225,7 +226,6 @@ def _backward(q, k, v, g, window: int, interpret: bool):
     vf, _ = _bucketize(v, window, wp)
     gf, _ = _bucketize(g.astype(q.dtype), window, wp)
     bh = b * h
-    bias = jnp.asarray(_mask_bias(window, wp))
 
     cur, prev, bspec = _block_specs(wp, d, nb)
     d2 = pl.BlockSpec(
@@ -262,19 +262,50 @@ def _backward(q, k, v, g, window: int, interpret: bool):
     return dqo.astype(q.dtype), fold(dk2).astype(k.dtype), fold(dv2).astype(v.dtype)
 
 
+# GSPMD-partitionable wrappers: the kernels are independent per
+# (batch, head) slice, so meshes may shard those dims freely (DP batch
+# sharding, Megatron TP head sharding, DP×TP) — each device lowers to
+# its own pallas_call on the shard; sequence/feature dims are forced
+# replicated (see ops/partitioning.py)
+from synthanatomy_tpu.ops.partitioning import make_bh_partitioned
+
+_forward_p = make_bh_partitioned(
+    _forward,
+    n_operands=4,
+    static_argnums=(4, 5),
+    rule="b h l d, b h l d, b h l d, x u w -> b h l d",
+    replicated_argnums=(3,),
+)
+_backward_p = make_bh_partitioned(
+    _backward,
+    n_operands=5,
+    static_argnums=(5, 6),
+    rule=(
+        "b h l d, b h l d, b h l d, b h l d, x u w -> "
+        "b h l d, b h l d, b h l d"
+    ),
+    replicated_argnums=(4,),
+)
+
+
+def _bias_for(window: int):
+    wp = _round_up(window, 32)
+    return jnp.asarray(_mask_bias(window, wp))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_core(q, k, v, window: int, interpret: bool):
-    return _forward(q, k, v, window, interpret)
+    return _forward_p(q, k, v, _bias_for(window), window, interpret)
 
 
 def _flash_fwd(q, k, v, window, interpret):
-    out = _forward(q, k, v, window, interpret)
+    out = _forward_p(q, k, v, _bias_for(window), window, interpret)
     return out, (q, k, v)
 
 
 def _flash_bwd(window, interpret, res, g):
     q, k, v = res
-    return _backward(q, k, v, g, window, interpret)
+    return _backward_p(q, k, v, g, _bias_for(window), window, interpret)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)

@@ -35,20 +35,8 @@ def build_ordering(config: TransformerConfig, latent_shape):
     )
 
 
-def _single_device(config: TransformerConfig) -> bool:
-    import jax
-
-    n = (
-        int(np.prod(config.mesh_shape))
-        if config.mesh_shape
-        else jax.device_count()
-    )
-    return n == 1
-
-
 def build_performer(
     config: TransformerConfig, ordering, latent_shape, dtype=None,
-    force_pallas: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -93,17 +81,11 @@ def build_performer(
         conditioning_type=(
             config.conditioning_type if config.conditioning_num_tokens else "none"
         ),
-        # the Pallas kernels are not GSPMD-partitionable yet: only
-        # enable them when the step runs on a single device (multi-chip
-        # uses the XLA paths, which partition cleanly)
-        use_pallas_local=(
-            config.use_pallas_local_attn
-            and (force_pallas or _single_device(config))
-        ),
-        use_pallas_favor=(
-            config.use_pallas_favor_attn
-            and (force_pallas or _single_device(config))
-        ),
+        # the kernels are GSPMD-partitionable over (batch, head) via
+        # custom_partitioning (ops/partitioning.py), so every mesh —
+        # single device, DP, TP, DP×TP — keeps them active
+        use_pallas_local=config.use_pallas_local_attn,
+        use_pallas_favor=config.use_pallas_favor_attn,
         attn_compute_dtype=(
             jnp.bfloat16
             if config.attn_compute_dtype == "bfloat16"
@@ -260,11 +242,8 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
             make_transformer_train_step_dp,
         )
 
-        model_train = build_performer(
-            config, ordering, latent_shape, force_pallas=True
-        )
         step_fn = jax.jit(
-            make_transformer_train_step_dp(model_train, tx, mesh),
+            make_transformer_train_step_dp(model, tx, mesh),
             donate_argnums=donate,
         )
     elif tp_manual:
