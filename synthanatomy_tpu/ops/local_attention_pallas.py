@@ -49,6 +49,9 @@ __all__ = ["local_attention_flash"]
 
 _NEG = -1e30
 
+# timing probe hook: swap the softmax exp implementation
+_EXP = jnp.exp
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -94,7 +97,7 @@ def _fwd_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *, w: in
     ) * (d**-0.5) + bias_ref[0]  # (wp, 2wp) fp32, masked additively
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    e = _EXP(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     o_ref[0, 0] = jax.lax.dot_general(
         probs.astype(cd), v2,
@@ -121,7 +124,7 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     ) * scale + bias_ref[0]
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    e = _EXP(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (wp, 2wp) fp32
 
     dP = jax.lax.dot_general(

@@ -97,6 +97,53 @@ class TBLogger:
         except Exception:
             pass
 
+    # ---- remaining reference summary types (handlers/general.py:
+    # 280 histograms, 364-375 figures/audio/text).  The reference
+    # pipeline itself only emits scalars/images/GIFs; these slots exist
+    # so user handler code porting over finds the full surface.
+
+    def histograms(self, summaries: Dict[str, Any], step: int, prefix: str = ""):
+        if self.writer is None:
+            return
+        for k, v in summaries.items():
+            try:
+                self.writer.add_histogram(prefix + k, np.asarray(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def figures(self, summaries: Dict[str, Any], step: int):
+        """matplotlib figures (general.py:364-365)."""
+        if self.writer is None:
+            return
+        for k, fig in summaries.items():
+            try:
+                self.writer.add_figure(k, fig, step)
+            except Exception:
+                pass
+
+    def audios(
+        self, summaries: Dict[str, Any], step: int, sample_rate: int = 44100
+    ):
+        """(1, N) waveforms in [-1, 1] (general.py:367-371)."""
+        if self.writer is None:
+            return
+        for k, snd in summaries.items():
+            try:
+                self.writer.add_audio(
+                    k, np.asarray(snd), step, sample_rate=sample_rate
+                )
+            except Exception:
+                pass
+
+    def texts(self, summaries: Dict[str, Any], step: int):
+        if self.writer is None:
+            return
+        for k, s in summaries.items():
+            try:
+                self.writer.add_text(k, str(s), step)
+            except Exception:
+                pass
+
     def close(self):
         if self.writer is not None:
             self.writer.close()

@@ -64,6 +64,31 @@ def test_tb_logger_writes_events(tmp_path):
     assert any("tfevents" in f for f in files)
 
 
+def test_tb_logger_remaining_summary_types(tmp_path):
+    """Histogram/figure/audio/text slots (reference handlers/general.py
+    :280, :364-375) write events without error."""
+    tb = TBLogger(str(tmp_path / "tb3"), enabled=True)
+    rng = np.random.default_rng(0)
+    tb.histograms({"weights": rng.normal(size=64)}, step=1)
+    tb.audios({"wave": np.clip(rng.normal(size=(1, 256)), -1, 1)}, step=1)
+    tb.texts({"note": "config dump"}, step=1)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        plt.plot([0, 1], [0, 1])
+        tb.figures({"fig": fig}, step=1)
+        plt.close(fig)
+    except ImportError:
+        pass
+    tb.close()
+    files = os.listdir(tmp_path / "tb3")
+    assert any("tfevents" in f for f in files)
+
+
 def test_tb_logger_disabled_is_noop(tmp_path):
     tb = TBLogger(str(tmp_path / "tb2"), enabled=False)
     tb.scalars({"Loss": 1.0}, 0)
