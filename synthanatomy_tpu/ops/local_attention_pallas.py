@@ -84,24 +84,27 @@ def _mask_bias(w: int, wp: int) -> "np.ndarray":
 
 
 def _fwd_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *, w: int):
+    """One grid step = (bh-tile, bucket): blocks carry a leading
+    ``bt`` batch·head tile so the per-grid-step fixed costs amortize
+    over ``bt`` score tiles (batched MXU dims)."""
     d = q_ref.shape[3]
     cd = q_ref.dtype
-    q = q_ref[0, 0]
-    k2 = jnp.concatenate([kp_ref[0, 0], kc_ref[0, 0]], axis=0)  # (2wp, d)
-    v2 = jnp.concatenate([vp_ref[0, 0], vc_ref[0, 0]], axis=0)
+    q = q_ref[:, 0]  # (bt, wp, d)
+    k2 = jnp.concatenate([kp_ref[:, 0], kc_ref[:, 0]], axis=1)  # (bt, 2wp, d)
+    v2 = jnp.concatenate([vp_ref[:, 0], vc_ref[:, 0]], axis=1)
 
     scores = jax.lax.dot_general(
         q, k2,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5) + bias_ref[0]  # (wp, 2wp) fp32, masked additively
+    ) * (d**-0.5) + bias_ref[0][None]  # (bt, wp, 2wp) fp32, masked
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = _EXP(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jax.lax.dot_general(
+    o_ref[:, 0] = jax.lax.dot_general(
         probs.astype(cd), v2,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -113,47 +116,47 @@ def _bwd_kernel(
     d = q_ref.shape[3]
     cd = q_ref.dtype
     scale = d**-0.5
-    q = q_ref[0, 0]
-    k2 = jnp.concatenate([kp_ref[0, 0], kc_ref[0, 0]], axis=0)
-    v2 = jnp.concatenate([vp_ref[0, 0], vc_ref[0, 0]], axis=0)
-    g = g_ref[0, 0]
+    q = q_ref[:, 0]  # (bt, wp, d)
+    k2 = jnp.concatenate([kp_ref[:, 0], kc_ref[:, 0]], axis=1)
+    v2 = jnp.concatenate([vp_ref[:, 0], vc_ref[:, 0]], axis=1)
+    g = g_ref[:, 0]
 
     scores = jax.lax.dot_general(
         q, k2,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale + bias_ref[0]
+    ) * scale + bias_ref[0][None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = _EXP(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (wp, 2wp) fp32
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (bt, wp, 2wp) fp32
 
     dP = jax.lax.dot_general(
         g, v2,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (wp, 2wp)
+    )  # (bt, wp, 2wp)
     t = jnp.sum(dP * probs, axis=-1, keepdims=True)
     dS = probs * (dP - t)  # masked entries have probs == 0 → dS == 0
 
-    dq_ref[0, 0] = (
+    dq_ref[:, 0] = (
         jax.lax.dot_general(
             dS.astype(cd), k2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         * scale
     ).astype(dq_ref.dtype)
-    dk2_ref[0, 0] = (
+    dk2_ref[:, 0] = (
         jax.lax.dot_general(
             dS.astype(cd), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         * scale
     ).astype(dk2_ref.dtype)
-    dv2_ref[0, 0] = jax.lax.dot_general(
+    dv2_ref[:, 0] = jax.lax.dot_general(
         probs.astype(cd), g,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dv2_ref.dtype)
 
@@ -171,17 +174,30 @@ def _bucketize(x, window: int, wp: int):
     return x, nb
 
 
-def _block_specs(wp: int, d: int, nb: int):
-    # grid is (nb, bh): the bucket index j is the OUTER grid dim, so the
-    # (wp, 2wp) mask-bias block — which depends only on min(j, 1) —
+def _bh_tile(bh: int, wp: int, *, live_tiles: int) -> int:
+    """Batch·head tile per grid step: amortizes the per-step fixed
+    costs over several score tiles, bounded so ``live_tiles`` fp32
+    (bt, wp, 2wp) tensors stay well inside VMEM (~16 MB/core)."""
+    budget = 10 * 1024 * 1024
+    bt = 4
+    while bt > 1 and (
+        bh % bt != 0 or live_tiles * bt * wp * 2 * wp * 4 > budget
+    ):
+        bt -= 1
+    return bt
+
+
+def _block_specs(wp: int, d: int, nb: int, bt: int):
+    # grid is (nb, bh//bt): the bucket index j is the OUTER grid dim, so
+    # the (wp, 2wp) mask-bias block — which depends only on min(j, 1) —
     # stays resident across the whole inner bh sweep (its DMA is
     # skipped for unchanged block indices): 2 bias fetches per kernel
     # instead of one per grid step.
     cur = pl.BlockSpec(
-        (1, 1, wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (bt, 1, wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     prev = pl.BlockSpec(
-        (1, 1, wp, d), lambda j, i: (i, (j - 1) % nb, 0, 0),
+        (bt, 1, wp, d), lambda j, i: (i, (j - 1) % nb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bias = pl.BlockSpec(
@@ -202,10 +218,11 @@ def _forward(q, k, v, bias, window: int, interpret: bool):
     vf, _ = _bucketize(v, window, wp)
     bh = b * h
 
-    cur, prev, bspec = _block_specs(wp, d, nb)
+    bt = _bh_tile(bh, wp, live_tiles=2)
+    cur, prev, bspec = _block_specs(wp, d, nb, bt)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, w=window),
-        grid=(nb, bh),
+        grid=(nb, bh // bt),
         in_specs=[cur, prev, cur, prev, cur, bspec],
         out_specs=cur,
         out_shape=jax.ShapeDtypeStruct((bh, nb, wp, d), v.dtype),
@@ -230,13 +247,14 @@ def _backward(q, k, v, g, bias, window: int, interpret: bool):
     gf, _ = _bucketize(g.astype(q.dtype), window, wp)
     bh = b * h
 
-    cur, prev, bspec = _block_specs(wp, d, nb)
+    bt = _bh_tile(bh, wp, live_tiles=4)
+    cur, prev, bspec = _block_specs(wp, d, nb, bt)
     d2 = pl.BlockSpec(
-        (1, 1, 2 * wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (bt, 1, 2 * wp, d), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     dq, dk2, dv2 = pl.pallas_call(
         functools.partial(_bwd_kernel, w=window),
-        grid=(nb, bh),
+        grid=(nb, bh // bt),
         in_specs=[cur, prev, cur, prev, cur, cur, bspec],
         out_specs=[cur, d2, d2],
         out_shape=[
