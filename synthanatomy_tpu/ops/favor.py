@@ -248,7 +248,7 @@ def favor_attention(
     stabilize_keys: bool = False,
     compute_dtype=jnp.float32,
     use_pallas_scan: bool = False,
-    pallas_chunk: int = 256,
+    pallas_chunk: int = 128,
 ) -> jax.Array:
     """q,k,v: (B, H, L, d) → (B, H, L, d) in v's dtype.
 

@@ -9,8 +9,12 @@ rowmax stabilizer, zero key stabilizer — the batch==incremental design
 of ops/favor.py) and the causal prefix scan into one VMEM-resident
 pass: HBM traffic per layer drops to the q/k/v/out streams (~30 MB).
 
-Grid = (batch·head, chunk); the running (S: (m, d), z: (m,)) state
-lives in VMEM scratch across the chunk sweep.  ``jax.custom_vjp``:
+Grid = (batch·head tile, chunk): each grid step processes a ``bt``-deep
+batch·head tile of chunks (round 3 — the chunk sweep at the paper
+shape is 48·11 = 528 steps of small matmuls; batching amortizes the
+per-step fixed costs and widens the MXU batch dims).  The running
+(S: (bt, m, d), z: (bt, 1, m)) state lives in VMEM scratch across the
+chunk sweep.  ``jax.custom_vjp``:
 
 - forward: features + scan; saves only (L,) denominators + output.
 - backward dq: forward-order sweep recomputing features and prefix
@@ -26,6 +30,13 @@ its cotangent is returned as zeros.
 
 Matmul operands in the caller's compute dtype (bf16 under the training
 policy), fp32 accumulation and fp32 feature/softmax math.
+
+Chunk default is 128: at the paper length (1401) it pads 0.5% (vs 9.6%
+at 256) and with the bt=8 tile the sweep is already only 66 grid
+steps.  Known Mosaic limit (this libtpu): the backward kernels at
+chunk=256 crash ApplyVectorLayout (`vector_extract` limits 2 vs 1 —
+the (bt, c, 1) → (bt, c, 256) lane broadcast of gd spans two vregs);
+chunk must stay ≤128 until that is rewritten as a matmul broadcast.
 """
 
 from __future__ import annotations
@@ -41,27 +52,51 @@ __all__ = ["favor_attention_fused"]
 
 _EPS = 1e-4  # the consumed implementation's feature-map epsilon
 
+# timing probe hook: swap the feature-map exp implementation (round-3
+# probe: exp2(x·log2e) measured identical — the kernel is not
+# transcendental-bound)
+_EXP = jnp.exp
+
 
 def _tri(c: int):
     r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return r >= j
+    return (r >= j)[None]
 
 
-def _dot(a, b, trans_a=False, trans_b=False):
-    ca = (0,) if trans_a else (1,)
-    cb = (1,) if trans_b else (0,)
+def _bdot(a, b, trans_a=False, trans_b=False):
+    """Batched (leading ``bt`` dim) matmul, fp32 accumulation."""
+    ca = (1,) if trans_a else (2,)
+    cb = (2,) if trans_b else (1,)
     return jax.lax.dot_general(
         a, b,
-        dimension_numbers=(((ca[0],), (cb[0],)), ((), ())),
+        dimension_numbers=(((ca[0],), (cb[0],)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pdot(a, p):
+    """(bt, c, x) · (m, x)ᵀ → (bt, c, m): unbatched projection matmul."""
+    return jax.lax.dot_general(
+        a, p,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pdot_t(a, p):
+    """(bt, c, m) · (m, d) → (bt, c, d)."""
+    return jax.lax.dot_general(
+        a, p,
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
 def _features(q, k, p_ref, cd):
-    """In-VMEM softmax-kernel feature maps for one chunk.
+    """In-VMEM softmax-kernel feature maps for one chunk tile.
 
-    q/k: (c, d) fp32; returns (q_p, k_p, e_q, e_k, u_q) where
+    q/k: (bt, c, d) fp32; returns (q_p, k_p, e_q, e_k, u_q) where
     e_* = exp(u − diag − stab) (needed for the backward chain) and the
     features are r·(e + ε).  Query stabilizer = rowmax; key = 0.
     """
@@ -70,13 +105,13 @@ def _features(q, k, p_ref, cd):
     dn = d**-0.25
     r = m**-0.5
     p = p_ref[...]  # (m, d)
-    u_q = _dot((q * dn).astype(cd), p.astype(cd), trans_b=True)  # (c, m) f32
-    u_k = _dot((k * dn).astype(cd), p.astype(cd), trans_b=True)
+    u_q = _pdot((q * dn).astype(cd), p.astype(cd))  # (bt, c, m) f32
+    u_k = _pdot((k * dn).astype(cd), p.astype(cd))
     diag_q = jnp.sum(q * q, axis=-1, keepdims=True) * (0.5 * dn * dn)
     diag_k = jnp.sum(k * k, axis=-1, keepdims=True) * (0.5 * dn * dn)
     s_q = jnp.max(u_q, axis=-1, keepdims=True)
-    e_q = jnp.exp(u_q - diag_q - s_q)
-    e_k = jnp.exp(u_k - diag_k)
+    e_q = _EXP(u_q - diag_q - s_q)
+    e_k = _EXP(u_k - diag_k)
     return r * (e_q + _EPS), r * (e_k + _EPS), e_q, e_k, u_q
 
 
@@ -87,13 +122,13 @@ def _dfeat_q(q, u_q, e_q, dqp, p_ref, cd):
     m = p_ref.shape[0]
     dn = d**-0.25
     r = m**-0.5
-    dE = dqp * (r * e_q)  # (c, m)
-    w = jnp.sum(dE, axis=-1, keepdims=True)  # (c, 1)
+    dE = dqp * (r * e_q)  # (bt, c, m)
+    w = jnp.sum(dE, axis=-1, keepdims=True)  # (bt, c, 1)
     s_q = jnp.max(u_q, axis=-1, keepdims=True)
     ties = (u_q == s_q).astype(jnp.float32)
     cnt = jnp.sum(ties, axis=-1, keepdims=True)
     du = dE - ties * (w / cnt)
-    dq = _dot(du.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * q
+    dq = _pdot_t(du.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * q
     return dq
 
 
@@ -106,12 +141,12 @@ def _dfeat_k(k, e_k, dkp, p_ref, cd):
     r = m**-0.5
     dE = dkp * (r * e_k)
     w = jnp.sum(dE, axis=-1, keepdims=True)
-    dk = _dot(dE.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * k
+    dk = _pdot_t(dE.astype(cd), p_ref[...].astype(cd)) * dn - w * (dn * dn) * k
     return dk
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, p_ref, o_ref, den_ref, S_ref, z_ref):
-    c = q_ref.shape[1]
+    bt, c = q_ref.shape[0], q_ref.shape[1]
     cd = q_ref.dtype
 
     @pl.when(pl.program_id(1) == 0)
@@ -119,27 +154,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, p_ref, o_ref, den_ref, S_ref, z_ref):
         S_ref[...] = jnp.zeros_like(S_ref)
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
     qp, kp, _, _, _ = _features(q, k, p_ref, cd)
     qc = qp.astype(cd)
     kc = kp.astype(cd)
 
-    scores = jnp.where(_tri(c), _dot(qc, kc, trans_b=True), 0.0)  # (c, c)
-    num = _dot(scores.astype(cd), v) + _dot(qc, S_ref[...].astype(cd))
+    scores = jnp.where(_tri(c), _bdot(qc, kc, trans_b=True), 0.0)  # (bt, c, c)
+    num = _bdot(scores.astype(cd), v) + _bdot(qc, S_ref[...].astype(cd))
     den = (
         jnp.sum(scores, axis=-1, keepdims=True)
-        + _dot(qc, z_ref[...].astype(cd).T)
-    )  # (c, 1)
+        + _bdot(qc, z_ref[...][:, :1].astype(cd), trans_b=True)
+    )  # (bt, c, 1)
     inv = 1.0 / jnp.maximum(den, 1e-12)
-    o_ref[0] = (num * inv).astype(o_ref.dtype)
+    o_ref[...] = (num * inv).astype(o_ref.dtype)
     # den saved for the backward as a (c, 8) broadcast plane — a
     # (1, chunk) block would violate the (8, 128) tiling constraint
-    den_ref[0] = jnp.broadcast_to(den, (c, 8)).astype(den_ref.dtype)
+    den_ref[...] = jnp.broadcast_to(den, (bt, c, 8)).astype(den_ref.dtype)
 
-    S_ref[...] += _dot(kc, v, trans_a=True)
-    z_ref[...] += jnp.sum(kp, axis=0)[None]
+    S_ref[...] += _bdot(kc, v, trans_a=True)
+    z_ref[...] += jnp.sum(kp, axis=1, keepdims=True)  # all 8 rows alike
 
 
 def _bwd_dq_kernel(
@@ -153,31 +188,31 @@ def _bwd_dq_kernel(
         S_ref[...] = jnp.zeros_like(S_ref)
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
     qp, kp, e_q, _, u_q = _features(q, k, p_ref, cd)
     qc = qp.astype(cd)
     kc = kp.astype(cd)
-    g = g_ref[0].astype(jnp.float32)
-    out = o_ref[0].astype(jnp.float32)
-    inv = 1.0 / jnp.maximum(den_ref[0][:, :1].astype(jnp.float32), 1e-12)
+    g = g_ref[...].astype(jnp.float32)
+    out = o_ref[...].astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(den_ref[...][:, :, :1].astype(jnp.float32), 1e-12)
 
-    dnum = g * inv  # (c, d)
-    gd = -jnp.sum(g * out, axis=-1, keepdims=True) * inv  # (c, 1)
+    dnum = g * inv  # (bt, c, d)
+    gd = -jnp.sum(g * out, axis=-1, keepdims=True) * inv  # (bt, c, 1)
 
     dscores = jnp.where(
-        _tri(c), _dot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
+        _tri(c), _bdot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
     )
     dqp = (
-        _dot(dscores.astype(cd), kc)
-        + _dot(dnum.astype(cd), S_ref[...].astype(cd), trans_b=True)
-        + gd * z_ref[...].astype(jnp.float32)
+        _bdot(dscores.astype(cd), kc)
+        + _bdot(dnum.astype(cd), S_ref[...].astype(cd), trans_b=True)
+        + gd * z_ref[...][:, :1].astype(jnp.float32)
     )
-    dq_ref[0] = _dfeat_q(q, u_q, e_q, dqp, p_ref, cd).astype(dq_ref.dtype)
+    dq_ref[...] = _dfeat_q(q, u_q, e_q, dqp, p_ref, cd).astype(dq_ref.dtype)
 
-    S_ref[...] += _dot(kc, v, trans_a=True)
-    z_ref[...] += jnp.sum(kp, axis=0)[None]
+    S_ref[...] += _bdot(kc, v, trans_a=True)
+    z_ref[...] += jnp.sum(kp, axis=1, keepdims=True)
 
 
 def _bwd_dkv_kernel(
@@ -192,43 +227,45 @@ def _bwd_dkv_kernel(
         dS_ref[...] = jnp.zeros_like(dS_ref)
         dz_ref[...] = jnp.zeros_like(dz_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
     qp, kp, _, e_k, _ = _features(q, k, p_ref, cd)
     qc = qp.astype(cd)
     kc = kp.astype(cd)
-    g = g_ref[0].astype(jnp.float32)
-    out = o_ref[0].astype(jnp.float32)
-    inv = 1.0 / jnp.maximum(den_ref[0][:, :1].astype(jnp.float32), 1e-12)
+    g = g_ref[...].astype(jnp.float32)
+    out = o_ref[...].astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(den_ref[...][:, :, :1].astype(jnp.float32), 1e-12)
 
     dnum = g * inv
     gd = -jnp.sum(g * out, axis=-1, keepdims=True) * inv
 
     tri = _tri(c)
-    scores = jnp.where(tri, _dot(qc, kc, trans_b=True), 0.0)
+    scores = jnp.where(tri, _bdot(qc, kc, trans_b=True), 0.0)
     dscores = jnp.where(
-        tri, _dot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
+        tri, _bdot(dnum.astype(cd), v, trans_b=True) + gd, 0.0
     )
 
     # suffix statistics exclude the current chunk (strictly-later
     # chunks): use them BEFORE adding this chunk's contribution
-    dS = dS_ref[...].astype(jnp.float32)  # (m, d)
-    dz = dz_ref[...].astype(jnp.float32)  # (1, m)
+    dS = dS_ref[...].astype(jnp.float32)  # (bt, m, d)
+    dz = dz_ref[...][:, :1].astype(jnp.float32)  # (bt, 1, m)
 
     dkp = (
-        _dot(dscores.astype(cd), qc, trans_a=True)
-        + _dot(v, dS.astype(cd), trans_b=True)
+        _bdot(dscores.astype(cd), qc, trans_a=True)
+        + _bdot(v, dS.astype(cd), trans_b=True)
         + dz
     )
-    dv = _dot(scores.astype(cd), dnum.astype(cd), trans_a=True) + _dot(
+    dv = _bdot(scores.astype(cd), dnum.astype(cd), trans_a=True) + _bdot(
         kc, dS.astype(cd)
     )
-    dk_ref[0] = _dfeat_k(k, e_k, dkp, p_ref, cd).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_ref[...] = _dfeat_k(k, e_k, dkp, p_ref, cd).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
-    dS_ref[...] += _dot(qc, dnum.astype(cd), trans_a=True)
-    dz_ref[...] += _dot(qc, gd.astype(cd), trans_a=True).T
+    dS_ref[...] += _bdot(qc, dnum.astype(cd), trans_a=True)
+    # Σ_c qp·gd as a VPU reduction — a (bt, m, 1) matmul + transpose is
+    # not Mosaic-friendly
+    dz_ref[...] += jnp.sum(qp * gd, axis=1, keepdims=True)
 
 
 def _flatten_pad(x, chunk: int):
@@ -239,13 +276,25 @@ def _flatten_pad(x, chunk: int):
     return x.reshape(b * h, n + pad, f), (n + pad) // chunk
 
 
-def _specs(chunk: int, d: int, nc: int, reverse: bool):
+def _bh_tile(bh: int, chunk: int, m: int) -> int:
+    """Batch·head tile per grid step: the chunk sweep is otherwise
+    bh·nc small-matmul steps (528 at the paper shape).  Bounded so the
+    ~6 live fp32 (bt, c, m) feature/score tensors stay well inside the
+    16 MB VMEM (same scoped-stack reasoning as the local kernel)."""
+    budget = 6 * 1024 * 1024
+    bt = 8
+    while bt > 1 and (bh % bt != 0 or 6 * bt * chunk * m * 4 > budget):
+        bt -= 1
+    return bt
+
+
+def _specs(bt: int, chunk: int, d: int, nc: int, reverse: bool):
     if reverse:
         jm = lambda i, j: (i, nc - 1 - j, 0)  # noqa: E731
     else:
         jm = lambda i, j: (i, j, 0)  # noqa: E731
-    x = pl.BlockSpec((1, chunk, d), jm, memory_space=pltpu.VMEM)
-    den = pl.BlockSpec((1, chunk, 8), jm, memory_space=pltpu.VMEM)
+    x = pl.BlockSpec((bt, chunk, d), jm, memory_space=pltpu.VMEM)
+    den = pl.BlockSpec((bt, chunk, 8), jm, memory_space=pltpu.VMEM)
     return x, den
 
 
@@ -253,10 +302,12 @@ def _proj_spec(m: int, d: int):
     return pl.BlockSpec((m, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _scratch(m: int, d: int):
+def _scratch(bt: int, m: int, d: int):
+    # z is logically (bt, 1, m) but stored as an (bt, 8, m) broadcast
+    # plane: a sublane dim of 1 is not a legal Mosaic tile
     return [
-        pltpu.VMEM((m, d), jnp.float32),
-        pltpu.VMEM((1, m), jnp.float32),
+        pltpu.VMEM((bt, m, d), jnp.float32),
+        pltpu.VMEM((bt, 8, m), jnp.float32),
     ]
 
 
@@ -267,18 +318,19 @@ def _fwd_impl(q, k, v, p, chunk: int, interpret: bool):
     kf, _ = _flatten_pad(k, chunk)
     vf, _ = _flatten_pad(v, chunk)
     bh = b * h
+    bt = _bh_tile(bh, chunk, m)
 
-    sx, sden = _specs(chunk, d, nc, reverse=False)
+    sx, sden = _specs(bt, chunk, d, nc, reverse=False)
     out, den = pl.pallas_call(
         _fwd_kernel,
-        grid=(bh, nc),
+        grid=(bh // bt, nc),
         in_specs=[sx, sx, sx, _proj_spec(m, d)],
         out_specs=[sx, sden],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, nc * chunk, 8), jnp.float32),
         ],
-        scratch_shapes=_scratch(m, d),
+        scratch_shapes=_scratch(bt, m, d),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * nc * chunk * (2 * m * d + chunk * m + chunk * d + 2 * m * d),
@@ -297,29 +349,30 @@ def _bwd_impl(q, k, v, p, g, out_flat, den_flat, nc, chunk: int, interpret: bool
     vf, _ = _flatten_pad(v, chunk)
     gf, _ = _flatten_pad(g.astype(q.dtype), chunk)
     bh = b * h
+    bt = _bh_tile(bh, chunk, m)
 
-    sx, sden = _specs(chunk, d, nc, reverse=False)
+    sx, sden = _specs(bt, chunk, d, nc, reverse=False)
     dq = pl.pallas_call(
         _bwd_dq_kernel,
-        grid=(bh, nc),
+        grid=(bh // bt, nc),
         in_specs=[sx, sx, sx, _proj_spec(m, d), sx, sx, sden],
         out_specs=sx,
         out_shape=jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
-        scratch_shapes=_scratch(m, d),
+        scratch_shapes=_scratch(bt, m, d),
         interpret=interpret,
     )(qf, kf, vf, p, gf, out_flat, den_flat)
 
-    rx, rden = _specs(chunk, d, nc, reverse=True)
+    rx, rden = _specs(bt, chunk, d, nc, reverse=True)
     dk, dv = pl.pallas_call(
         _bwd_dkv_kernel,
-        grid=(bh, nc),
+        grid=(bh // bt, nc),
         in_specs=[rx, rx, rx, _proj_spec(m, d), rx, rx, rden],
         out_specs=[rx, rx],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, nc * chunk, d), jnp.float32),
         ],
-        scratch_shapes=_scratch(m, d),
+        scratch_shapes=_scratch(bt, m, d),
         interpret=interpret,
     )(qf, kf, vf, p, gf, out_flat, den_flat)
 
@@ -374,7 +427,7 @@ _bwd_p = make_bh_partitioned(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def favor_attention_fused(q, k, v, projection, chunk: int = 256,
+def favor_attention_fused(q, k, v, projection, chunk: int = 128,
                           interpret: bool = False):
     """Causal softmax-kernel FAVOR+ with fused feature maps + prefix
     scan.  q/k/v: (B, H, L, d) in compute dtype; projection: (m, d).
