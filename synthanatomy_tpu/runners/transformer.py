@@ -221,23 +221,27 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         )
 
         ok, why = tp_step_compatible(model, model_size)
-        # the manual Megatron shard_map step keeps the Pallas kernels
-        # (GSPMD cannot partition the custom calls) but covers pure-TP
-        # meshes and the plain-Performer config only
+        # pure-TP + kernels: prefer the manual Megatron shard_map step
+        # (head-packed weights, f/g conjugate collectives, sharded
+        # Adam — no partitioner in the loop).  Other meshes use GSPMD;
+        # the Pallas kernels stay active there too via
+        # custom_partitioning (ops/partitioning.py).
         tp_manual = want_pallas and data_size == 1 and ok
         if want_pallas and not tp_manual:
             logger.info(
                 "manual TP step unavailable "
-                f"({why or 'DP×TP mesh'}); using GSPMD TP (XLA attention)"
+                f"({why or 'DP×TP mesh'}); using GSPMD TP "
+                "(Pallas kernels partitioned over batch/heads)"
             )
     if (
         pure_dp
         and n_mesh_dev > 1
         and want_pallas
     ):
-        # pure-DP multi-chip: shard_map step keeps the Pallas attention
-        # kernels usable (one kernel instance per device; GSPMD can't
-        # partition the custom calls) — tested equal to the GSPMD step
+        # pure-DP multi-chip: per-device shard_map step (one kernel
+        # instance per device, no partitioner in the loop) — tested
+        # equal to the GSPMD step, which also keeps the kernels via
+        # custom_partitioning
         from synthanatomy_tpu.train.transformer_steps import (
             make_transformer_train_step_dp,
         )

@@ -48,7 +48,6 @@ def main() -> None:
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--pallas-local", action="store_true")
     p.add_argument("--pallas-favor", action="store_true")
-    p.add_argument("--pallas-chunk", type=int, default=256)
     p.add_argument("--reversible", action="store_true")
     p.add_argument("--attn-dtype", default="float32",
                    choices=["float32", "bfloat16"],
