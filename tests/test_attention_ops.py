@@ -350,6 +350,38 @@ def test_favor_fused_kernel_edge_lengths(n, chunk):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_favor_fused_kernel_full_bh_tile():
+    """bh=16 → the full bt=8 batch·head tile with TWO grid rows — the
+    production regime of the round-3 BH-tiled kernels (the paper shape
+    runs bh=48, bt=6/8; the smaller parity tests above only reach
+    bt≤4).  Locks the batched state-scratch reset (`program_id(1)==0`
+    per bh-row) and tile indexing, fwd + both backward sweeps."""
+    from synthanatomy_tpu.ops.favor_pallas import _bh_tile, favor_attention_fused
+
+    b, h, n, d, m, chunk = 2, 8, 37, 8, 16, 16
+    assert _bh_tile(b * h, chunk, m) == 8
+    key = jax.random.key(33)
+    q, k, v = jax.random.normal(key, (3, b, h, n, d))
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(34), m, d)
+
+    ref = np.asarray(favor_attention(q, k, v, proj, causal=True, chunk=8))
+    out = np.asarray(favor_attention_fused(q, k, v, proj, chunk, True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def f_ref(q, k, v):
+        return jnp.sum(favor_attention(q, k, v, proj, causal=True, chunk=8) ** 2)
+
+    def f_pal(q, k, v):
+        return jnp.sum(favor_attention_fused(q, k, v, proj, chunk, True) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_local_attention_flash_window_longer_than_sequence():
     from synthanatomy_tpu.ops.local_attention_pallas import local_attention_flash
 
