@@ -421,8 +421,9 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                         else None
                     )
                     _, m = eval_fn(estate, jnp.asarray(inputs), jnp.asarray(targets), conds)
-                    vlosses.append(float(m["Loss"]))
-                val_ce = float(np.mean(vlosses))
+                    # keep the scalar on device; one host sync per epoch
+                    vlosses.append(m["Loss"])
+                val_ce = float(np.mean([np.asarray(v) for v in vlosses]))
                 if config.rank == 0:
                     tb_val.scalars({"Loss-CE": val_ce}, epoch + 1)
                     logger.info(f"eval @ {epoch + 1}: CE={val_ce:.4f}")

@@ -395,6 +395,10 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
             if "val" in loaders and (epoch + 1) % config.eval_every == 0:
 
                 def run_eval(loader):
+                    # metric scalars stay on device inside the loop (a
+                    # float() per batch would serialize dispatch — the
+                    # banned per-iteration host-sync pattern); one sync
+                    # per epoch below
                     vals = {"MAE": [], "MSE": [], "MS-SSIM": []}
                     last = None
                     for batch in loader.epoch(epoch):
@@ -403,15 +407,23 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                         m_mae, m_mse, m_ssim = eval_metrics_fn(
                             recon.astype(jnp.float32), x
                         )
-                        vals["MAE"].append(float(m_mae))
-                        vals["MSE"].append(float(m_mse))
+                        vals["MAE"].append(m_mae)
+                        vals["MSE"].append(m_mse)
                         if ms_ssim_win is not None:
-                            vals["MS-SSIM"].append(float(m_ssim))
+                            vals["MS-SSIM"].append(m_ssim)
+                        last = (batch["MRI"][0], recon)
+                    if last is not None:
                         last = (
-                            batch["MRI"][0],
-                            np.asarray(jax.device_get(recon[0]), np.float32),
+                            last[0],
+                            np.asarray(
+                                jax.device_get(last[1][0]), np.float32
+                            ),
                         )
-                    return {k: float(np.mean(v)) for k, v in vals.items() if v}, last
+                    return {
+                        k: float(np.mean([np.asarray(v) for v in vs]))
+                        for k, vs in vals.items()
+                        if vs
+                    }, last
 
                 val_metrics, last = run_eval(loaders["val"])
                 # clean-transform training-set evaluator (the reference's
