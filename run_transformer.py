@@ -90,6 +90,7 @@ def run(
     use_pallas_favor_attn: bool = True,
     use_int8_rings: bool = True,
     zero1: bool = False,
+    sp_shards: int = 0,
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

@@ -303,6 +303,12 @@ class TransformerConfig:
     donate_state: bool = True
     # ZeRO-1: shard the Adam moments over the data axis under pure DP
     zero1: bool = False
+    # Sequence (context) parallelism: shard the TOKEN axis of training
+    # over this many devices (the long-context hardware lever, SURVEY
+    # §5.7 — params replicated, attention does halo/prefix collectives
+    # over ICI).  0/1 = off.  Composes with DP (remaining devices form
+    # the data axis); not composable with a model mesh axis or zero1.
+    sp_shards: int = 0
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None
     conditioning_num_tokens: Optional[Tuple[int, ...]] = None
@@ -335,6 +341,20 @@ class TransformerConfig:
                 object.__setattr__(self, name, _astuple(v))
         if self.conditionings is not None:
             object.__setattr__(self, "conditionings", _astuple(self.conditionings))
+        if self.sp_shards < 0:
+            raise ValueError(f"sp_shards must be >= 0, got {self.sp_shards}")
+        if self.sp_shards > 1:
+            if self.mesh_shape is not None and len(self.mesh_shape) > 1 \
+                    and self.mesh_shape[1] > 1:
+                raise ValueError(
+                    "sp_shards does not compose with a model mesh axis "
+                    "(TP×SP); use --mesh_shape for TP or --sp_shards for SP"
+                )
+            if self.zero1:
+                raise ValueError(
+                    "zero1 shards the optimizer over the data axis under "
+                    "pure DP; not composable with sp_shards"
+                )
 
 
 def replace(cfg, **kw):

@@ -69,7 +69,13 @@ def _const_pos_method(m, n, k_pre=0):
     prefix length."""
     total = jnp.zeros((n, m.dim), jnp.float32)
     if m.fixed_position_emb:
-        total = total + m._fixed_pos[:n]
+        fp = m._fixed_pos[:n]
+        # alignment padding may exceed the canonical table (the pad
+        # positions are loss-masked and causally invisible, so their
+        # rows can be anything — use zeros)
+        if fp.shape[0] < n:
+            fp = jnp.pad(fp, ((0, n - fp.shape[0]), (0, 0)))
+        total = total + fp
     if m.spatial_position_emb == "fixed":
         sp = m._spatial_pos_sum(n - k_pre)[0].astype(jnp.float32)
         total = total + jnp.pad(sp, ((k_pre, 0), (0, 0)))
@@ -128,12 +134,11 @@ def make_sp_train_step(
     n_sh = mesh.shape[axis]
     align = n_sh * (model.local_window_size if model.local_attn_heads else 1)
     l_pad = -(-(seq_len + k_pre) // align) * align
-    if l_pad > model.effective_seq_len:
-        raise ValueError(
-            f"padded sequence {l_pad} exceeds max_seq_len "
-            f"{model.effective_seq_len}; build the model with "
-            "max_seq_len >= the aligned length"
-        )
+    # l_pad may exceed the model's canonical max_seq_len: the extra
+    # positions are pure alignment padding (right-padded, loss-masked,
+    # and — causal attention — invisible to every real token), so the
+    # positional tables are zero-extended on the fly instead of
+    # requiring a bigger (checkpoint-incompatible) model.
     block = _block_template(model, axis)
     depth = model.depth
     eps = 1e-6
@@ -175,6 +180,12 @@ def make_sp_train_step(
                     h = jax.lax.dynamic_update_slice_in_dim(h, new, local, 1)
             if not model.fixed_position_emb:
                 table = p["abs_pos_emb"]["embedding"]
+                if table.shape[0] < l_pad:
+                    # zero rows for the alignment pad (grad of pad is
+                    # slice, so table gradients stay exact)
+                    table = jnp.pad(
+                        table, ((0, l_pad - table.shape[0]), (0, 0))
+                    )
                 start = jax.lax.axis_index(axis) * ls
                 h = h + jax.lax.dynamic_slice_in_dim(
                     table, start, ls, 0

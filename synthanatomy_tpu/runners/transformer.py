@@ -207,15 +207,35 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         state = C.load_checkpoint(ckpt_path, state)
         logger.info(f"Restored checkpoint from {ckpt_path}")
 
-    mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
+    sp_mode = config.sp_shards > 1
+    if sp_mode:
+        # sequence (context) parallelism: ('data', 'seq') mesh — the
+        # token axis shards over 'seq', remaining devices form the
+        # data axis (shrunk to divide the batch, like the DP default)
+        from synthanatomy_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % config.sp_shards:
+            raise ValueError(
+                f"sp_shards={config.sp_shards} must divide the device "
+                f"count {n_dev}"
+            )
+        sp_data = n_dev // config.sp_shards
+        while sp_data > 1 and config.batch_size % sp_data:
+            sp_data -= 1
+        mesh = make_mesh(
+            (sp_data, config.sp_shards), ("data", "seq")
+        )
+    else:
+        mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
     model_size = mesh.shape.get("model", 1)
-    pure_dp = model_size == 1
+    pure_dp = model_size == 1 and not sp_mode
     n_mesh_dev = int(np.prod(list(mesh.shape.values())))
-    data_size = n_mesh_dev // model_size
+    data_size = n_mesh_dev // max(model_size, mesh.shape.get("seq", 1))
     want_pallas = config.use_pallas_local_attn or config.use_pallas_favor_attn
     tp_manual = False
     donate = 0 if config.donate_state else ()
-    if not pure_dp:
+    if model_size > 1:
         from synthanatomy_tpu.parallel.tensor_parallel import (
             tp_step_compatible,
         )
@@ -233,7 +253,39 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                 f"({why or 'DP×TP mesh'}); using GSPMD TP "
                 "(Pallas kernels partitioned over batch/heads)"
             )
-    if (
+    if sp_mode:
+        # SP train step: params replicated, sequence sharded over
+        # 'seq' (and batch over 'data' when it has size > 1); the
+        # attention collectives (FAVOR prefix all_gather, local-window
+        # ppermute halo) ride ICI.  Uses the XLA attention paths —
+        # shard-local Pallas kernels under SP are future work.
+        from synthanatomy_tpu.parallel.sequence_parallel import (
+            make_sp_train_step,
+        )
+
+        if want_pallas:
+            logger.info(
+                "SP training uses the XLA attention paths (the Pallas "
+                "flags apply to non-SP training and sampling)"
+            )
+        sp_step = make_sp_train_step(
+            model, tx, mesh, seq_len,
+            axis="seq",
+            data_axis="data" if mesh.shape.get("data", 1) > 1 else None,
+        )
+        step_fn = jax.jit(
+            lambda s, i, t, c, sched: sp_step(s, i, t, sched, c),
+            donate_argnums=donate,
+        )
+        logger.info(
+            f"sequence-parallel step: {mesh.shape.get('seq')} seq shards"
+            + (
+                f" × {mesh.shape.get('data')} data shards"
+                if mesh.shape.get("data", 1) > 1
+                else ""
+            )
+        )
+    elif (
         pure_dp
         and n_mesh_dev > 1
         and want_pallas
@@ -326,7 +378,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         def eval_view(s):
             return s.replace(params=_unpack_params(s.params))
 
-    elif not pure_dp:
+    elif model_size > 1:
         from synthanatomy_tpu.parallel.sharding_rules import (
             shard_transformer_state,
         )
@@ -335,6 +387,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         canonicalize = jax.device_get
         eval_view = lambda s: s  # noqa: E731
     else:
+        # pure DP and SP: params replicated
         state = jax.device_put(state, replicated(mesh))
         if config.zero1 and n_mesh_dev > 1:
             from synthanatomy_tpu.parallel.sharding_rules import (

@@ -468,6 +468,59 @@ def test_sequence_parallel_train_step_with_padding():
     )
 
 
+@pytest.mark.parametrize("pos_mode", ["absolute", "fixed"])
+def test_sequence_parallel_canonical_seq_len(pos_mode):
+    """Alignment padding beyond the model's canonical max_seq_len: the
+    positional tables are zero-extended on the fly (pad positions are
+    loss-masked and causally invisible), so the CANONICAL model — same
+    checkpoint shapes as single-device training — trains under SP.
+    Pins loss AND gradient parity (SGD) vs the single-device step.
+
+    This is the paper geometry in miniature: L=1400/window 420 aligns
+    to 1680 > max_seq_len 1401 at 2 shards."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    seq = 27  # aligns to 32 over 4 shards × window 8 > max_seq_len 28
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        fixed_position_emb=(pos_mode == "fixed"),
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq + 1, learning_rate=1e-3
+    )
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(11)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp_step = make_sp_train_step(model, tx, mesh, seq)
+    sp_state, sp_metrics = jax.jit(sp_step)(state, inputs, targets, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sp_state.params),
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=str(pa),
+        )
+
+
 def test_dp_x_sp_train_step_matches_single_device():
     """2-D DP×SP mesh (batch AND sequence sharded): gradients reduce
     over both axes and must match the single-device step."""
