@@ -35,7 +35,9 @@ def main() -> None:
     from synthanatomy_tpu.models.performer import Performer
     from synthanatomy_tpu.models.sampling import make_sampler, sample_next_index
 
-    BATCH = 8
+    # batch 16 is the measured single-chip serving sweet spot (BASELINE.md
+    # round-2 scaling sweep: B8 16.3k / B16 20.1k / B32 14.7k tok/s)
+    BATCH = 16
     GRID = (10, 14, 10)
     SEQ = int(np.prod(GRID))
 
@@ -98,7 +100,7 @@ def main() -> None:
             {
                 "metric": "ar_sampling_tokens_per_sec_paper24L",
                 "value": round(fast_tps, 1),
-                "unit": "latent tokens/s/chip (batch 8, 24L/d512/16h Performer, 1400-token grid)",
+                "unit": "latent tokens/s/chip (batch 16, 24L/d512/16h Performer, 1400-token grid)",
                 "vs_baseline": round(fast_tps / naive_tps, 2),
             }
         )
