@@ -91,6 +91,7 @@ def run(
     use_int8_rings: bool = True,
     zero1: bool = False,
     sp_shards: int = 0,
+    pp_stages: int = 0,
 ):
     """Build the typed config and dispatch on ``mode``."""
     import jax

@@ -309,6 +309,12 @@ class TransformerConfig:
     # over ICI).  0/1 = off.  Composes with DP (remaining devices form
     # the data axis); not composable with a model mesh axis or zero1.
     sp_shards: int = 0
+    # Pipeline parallelism (GPipe): shard the DEPTH axis of training
+    # over this many stages (for models deeper than one chip's HBM);
+    # microbatches stream through a fill-drain ppermute schedule.
+    # 0/1 = off.  Composes with DP (remaining devices form the data
+    # axis); not composable with sp_shards / a model mesh axis / zero1.
+    pp_stages: int = 0
     # mutated-en-route
     latent_shape: Optional[Tuple[int, int, int]] = None
     conditioning_num_tokens: Optional[Tuple[int, ...]] = None
@@ -343,18 +349,27 @@ class TransformerConfig:
             object.__setattr__(self, "conditionings", _astuple(self.conditionings))
         if self.sp_shards < 0:
             raise ValueError(f"sp_shards must be >= 0, got {self.sp_shards}")
-        if self.sp_shards > 1:
-            if self.mesh_shape is not None and len(self.mesh_shape) > 1 \
-                    and self.mesh_shape[1] > 1:
-                raise ValueError(
-                    "sp_shards does not compose with a model mesh axis "
-                    "(TP×SP); use --mesh_shape for TP or --sp_shards for SP"
-                )
-            if self.zero1:
-                raise ValueError(
-                    "zero1 shards the optimizer over the data axis under "
-                    "pure DP; not composable with sp_shards"
-                )
+        if self.pp_stages < 0:
+            raise ValueError(f"pp_stages must be >= 0, got {self.pp_stages}")
+        if self.sp_shards > 1 and self.pp_stages > 1:
+            raise ValueError(
+                "sp_shards and pp_stages are mutually exclusive; pick "
+                "sequence OR pipeline parallelism (each composes with DP)"
+            )
+        for flag in ("sp_shards", "pp_stages"):
+            if getattr(self, flag) > 1:
+                if self.mesh_shape is not None and len(self.mesh_shape) > 1 \
+                        and self.mesh_shape[1] > 1:
+                    raise ValueError(
+                        f"{flag} does not compose with a model mesh axis "
+                        f"(TP×SP/TP×PP); use --mesh_shape for TP or "
+                        f"--{flag} alone"
+                    )
+                if self.zero1:
+                    raise ValueError(
+                        "zero1 shards the optimizer over the data axis "
+                        f"under pure DP; not composable with {flag}"
+                    )
 
 
 def replace(cfg, **kw):

@@ -43,6 +43,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = [
     "stack_block_params",
     "make_pipelined_apply",
+    "pack_pp_tree",
+    "unpack_pp_tree",
+    "pack_pp_state",
+    "unpack_pp_state",
+    "pp_param_specs",
+    "make_pp_train_step",
 ]
 
 
@@ -185,3 +191,163 @@ def make_pipelined_apply(
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Full PP TRAINING step (the productized form of make_pipelined_apply)
+# ---------------------------------------------------------------------------
+#
+# State layout: the canonical TransformerTrainState keeps per-layer
+# ``block_i`` entries (the checkpoint / reference-convertible form);
+# the PP step works on a PACKED form where the homogeneous block
+# subtrees are stacked into one (L, ...) tree whose leading axis
+# shards over the ``pipe`` mesh axis — each device holds its stage's
+# (L/P, ...) slab of params AND Adam moments.  Checkpoints are written
+# canonical: pack after restore, unpack before save (the same contract
+# as the manual Megatron TP step, tensor_parallel.py:pack_tp_state).
+
+
+def pack_pp_tree(model, tree_):
+    """Params-structured dict → {'nonblock': ..., 'blocks': stacked}
+    with the ``block_i`` subtrees stacked on a new leading (L,) axis."""
+    d = {
+        k: v for k, v in tree_.items() if not str(k).startswith("block_")
+    }
+    blocks = [tree_[f"block_{i}"] for i in range(model.depth)]
+    return {
+        "nonblock": d,
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+    }
+
+
+def unpack_pp_tree(model, packed):
+    """Exact inverse of :func:`pack_pp_tree`."""
+    out = dict(packed["nonblock"])
+    for i in range(model.depth):
+        out[f"block_{i}"] = jax.tree.map(lambda x: x[i], packed["blocks"])
+    return out
+
+
+def _map_opt_state(model, opt_state, *, pack: bool):
+    """Apply the stack/unstack to every params-shaped subtree of an
+    optax state (Adam mu/nu), leaving counts/hyperparams untouched —
+    moments are params-shaped so the identical transform applies
+    (Adam's update is elementwise)."""
+
+    def _is_canonical(node):
+        return isinstance(node, dict) and any(
+            str(k).startswith("block_") for k in node
+        )
+
+    def _is_packed(node):
+        return isinstance(node, dict) and set(node) == {"nonblock", "blocks"}
+
+    def _rec(node):
+        if isinstance(node, dict):
+            if pack and _is_canonical(node):
+                return pack_pp_tree(model, node)
+            if not pack and _is_packed(node):
+                return unpack_pp_tree(model, node)
+            return {k: _rec(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            out = [_rec(v) for v in node]
+            return type(node)(*out) if hasattr(node, "_fields") else tuple(out)
+        if isinstance(node, list):
+            return [_rec(v) for v in node]
+        return node
+
+    return _rec(opt_state)
+
+
+def pack_pp_state(model, state):
+    """Canonical TransformerTrainState → packed (stacked-blocks) form."""
+    return state.replace(
+        params=pack_pp_tree(model, state.params),
+        favor=pack_pp_tree(model, state.favor),
+        opt_state=_map_opt_state(model, state.opt_state, pack=True),
+    )
+
+
+def unpack_pp_state(model, state):
+    """Packed → canonical (checkpoints stay reference-convertible)."""
+    return state.replace(
+        params=unpack_pp_tree(model, state.params),
+        favor=unpack_pp_tree(model, state.favor),
+        opt_state=_map_opt_state(model, state.opt_state, pack=False),
+    )
+
+
+def pp_param_specs(packed, *, axis: str = "pipe"):
+    """PartitionSpec tree for a packed params/favor tree: the stacked
+    block slabs shard their leading (L,) axis over ``axis``, everything
+    else is replicated."""
+    return {
+        "nonblock": jax.tree.map(lambda _: P(), packed["nonblock"]),
+        "blocks": jax.tree.map(lambda _: P(axis), packed["blocks"]),
+    }
+
+
+def make_pp_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    *,
+    axis: str = "pipe",
+    data_axis: Optional[str] = None,
+    n_microbatches: Optional[int] = None,
+    remat_stage: bool = True,
+) -> Callable:
+    """Build ``step(state, inputs, targets, sched[, conds]) ->
+    (state, metrics)`` training ``model`` with the depth axis sharded
+    over ``mesh[axis]`` (GPipe fill-drain through
+    :func:`make_pipelined_apply`, which autodiff differentiates
+    straight through) — and the batch over ``data_axis`` when given
+    (PP×DP).  ``state`` must be in the packed form
+    (:func:`pack_pp_state`).
+
+    Constraints: no dropout (the blocks run deterministically), depth
+    divisible by the stage count, batch divisible by the microbatch
+    count."""
+    import optax
+
+    from synthanatomy_tpu.losses.transformer import ce_loss
+
+    if model.emb_dropout or model.ff_dropout or model.attn_dropout:
+        raise NotImplementedError(
+            "PP training runs the blocks deterministically; dropout "
+            "(emb/ff/attn) is unsupported — use DP or single-device"
+        )
+    apply = make_pipelined_apply(
+        model, mesh, axis=axis, n_microbatches=n_microbatches,
+        remat_stage=remat_stage, data_axis=data_axis,
+    )
+
+    def step(state, inputs, targets, sched, conds=None):
+        rng, _ = jax.random.split(state.rng)
+        stacked_f = state.favor["blocks"]
+        favor_nonblock = state.favor["nonblock"]
+
+        def loss_fn(params):
+            variables = {
+                "params": params["nonblock"],
+                "favor": favor_nonblock,
+            }
+            logits = apply(
+                variables, params["blocks"], stacked_f, inputs, conds
+            )
+            return ce_loss(logits, targets)
+
+        (loss, summaries), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            sched["lr"], jnp.float32
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {**summaries, "Loss": loss}
+
+    return step

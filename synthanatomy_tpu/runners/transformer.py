@@ -208,28 +208,36 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         logger.info(f"Restored checkpoint from {ckpt_path}")
 
     sp_mode = config.sp_shards > 1
-    if sp_mode:
-        # sequence (context) parallelism: ('data', 'seq') mesh — the
-        # token axis shards over 'seq', remaining devices form the
-        # data axis (shrunk to divide the batch, like the DP default)
+    pp_mode = config.pp_stages > 1
+    if sp_mode or pp_mode:
+        # sequence parallelism: ('data', 'seq') mesh — the token axis
+        # shards over 'seq'.  Pipeline parallelism: ('data', 'pipe')
+        # mesh — the DEPTH axis shards over 'pipe'.  Either way the
+        # remaining devices form the data axis (shrunk to divide the
+        # batch, like the DP default).
         from synthanatomy_tpu.parallel.mesh import make_mesh
 
+        n_shards = config.sp_shards if sp_mode else config.pp_stages
+        axis_name = "seq" if sp_mode else "pipe"
         n_dev = len(jax.devices())
-        if n_dev % config.sp_shards:
+        if n_dev % n_shards:
             raise ValueError(
-                f"sp_shards={config.sp_shards} must divide the device "
-                f"count {n_dev}"
+                f"{'sp_shards' if sp_mode else 'pp_stages'}={n_shards} "
+                f"must divide the device count {n_dev}"
             )
-        sp_data = n_dev // config.sp_shards
-        while sp_data > 1 and config.batch_size % sp_data:
-            sp_data -= 1
-        mesh = make_mesh(
-            (sp_data, config.sp_shards), ("data", "seq")
-        )
+        if pp_mode and config.n_layers % n_shards:
+            raise ValueError(
+                f"pp_stages={n_shards} must divide n_layers="
+                f"{config.n_layers} (contiguous equal stages)"
+            )
+        par_data = n_dev // n_shards
+        while par_data > 1 and config.batch_size % par_data:
+            par_data -= 1
+        mesh = make_mesh((par_data, n_shards), ("data", axis_name))
     else:
         mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
     model_size = mesh.shape.get("model", 1)
-    pure_dp = model_size == 1 and not sp_mode
+    pure_dp = model_size == 1 and not sp_mode and not pp_mode
     n_mesh_dev = int(np.prod(list(mesh.shape.values())))
     data_size = n_mesh_dev // max(model_size, mesh.shape.get("seq", 1))
     want_pallas = config.use_pallas_local_attn or config.use_pallas_favor_attn
@@ -279,6 +287,50 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         )
         logger.info(
             f"sequence-parallel step: {mesh.shape.get('seq')} seq shards"
+            + (
+                f" × {mesh.shape.get('data')} data shards"
+                if mesh.shape.get("data", 1) > 1
+                else ""
+            )
+        )
+    elif pp_mode:
+        # GPipe pipeline-parallel step: depth sharded over 'pipe',
+        # microbatches fill-drain through ppermute; params/moments
+        # live in the packed stacked-block layout on device while
+        # checkpoints stay canonical (pack after restore / unpack
+        # before save — the TP contract).
+        from synthanatomy_tpu.parallel.pipeline_parallel import (
+            make_pp_train_step,
+        )
+
+        if want_pallas:
+            logger.info(
+                "PP training uses the XLA attention paths (the Pallas "
+                "flags apply to non-PP training and sampling)"
+            )
+        # most microbatches that divide the batch, capped at 2×stages
+        # (bubble fraction (P-1)/(M+P-1) shrinks with M; microbatches
+        # smaller than that stop paying for their dispatch).  Each
+        # microbatch additionally shards over 'data', so M must divide
+        # batch // data (mb % data == 0)
+        pp_data = mesh.shape.get("data", 1)
+        base = config.batch_size // pp_data
+        cap = min(base, 2 * config.pp_stages)
+        pp_microbatches = next(
+            m for m in range(cap, 0, -1) if base % m == 0
+        )
+        pp_step = make_pp_train_step(
+            model, tx, mesh, axis="pipe",
+            data_axis="data" if mesh.shape.get("data", 1) > 1 else None,
+            n_microbatches=pp_microbatches,
+        )
+        step_fn = jax.jit(
+            lambda s, i, t, c, sched: pp_step(s, i, t, sched, c),
+            donate_argnums=donate,
+        )
+        logger.info(
+            f"pipeline-parallel step: {config.pp_stages} stages × "
+            f"{pp_microbatches} microbatches"
             + (
                 f" × {mesh.shape.get('data')} data shards"
                 if mesh.shape.get("data", 1) > 1
@@ -378,6 +430,53 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         def eval_view(s):
             return s.replace(params=_unpack_params(s.params))
 
+    elif pp_mode:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from synthanatomy_tpu.parallel.pipeline_parallel import (
+            pack_pp_state,
+            pp_param_specs,
+            unpack_pp_state,
+            unpack_pp_tree,
+        )
+        from synthanatomy_tpu.parallel.sharding_rules import opt_state_shardings
+
+        state = pack_pp_state(model, state)
+
+        def _named(spec_tree):
+            return jax.tree.map(
+                lambda s: NamedSharding(mesh, s), spec_tree,
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            )
+
+        pshard = _named(pp_param_specs(state.params))
+        state = state.replace(
+            params=jax.device_put(state.params, pshard),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_shardings(mesh, tx, state.opt_state, pshard),
+            ),
+            favor=jax.device_put(
+                state.favor, _named(pp_param_specs(state.favor))
+            ),
+            step=jax.device_put(state.step, replicated(mesh)),
+            rng=jax.device_put(state.rng, replicated(mesh)),
+        )
+        _unpack_state = jax.jit(lambda s: unpack_pp_state(model, s))
+        _unpack_params = jax.jit(lambda p: unpack_pp_tree(model, p))
+        _unpack_favor = jax.jit(lambda f: unpack_pp_tree(model, f))
+
+        def canonicalize(s):
+            """Device → host state in the canonical per-block layout
+            (unstack runs jitted on device, not eagerly)."""
+            return jax.device_get(_unpack_state(s))
+
+        def eval_view(s):
+            return s.replace(
+                params=_unpack_params(s.params),
+                favor=_unpack_favor(s.favor),
+            )
+
     elif model_size > 1:
         from synthanatomy_tpu.parallel.sharding_rules import (
             shard_transformer_state,
@@ -400,6 +499,29 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
             logger.info(f"ZeRO-1: Adam moments sharded over {n_mesh_dev} devices")
         canonicalize = jax.device_get
         eval_view = lambda s: s  # noqa: E731
+    if pp_mode:
+        from synthanatomy_tpu.parallel.pipeline_parallel import pack_pp_tree
+
+        _pack_favor = jax.jit(lambda f: pack_pp_tree(model, f))
+        _favor_shard = _named(pp_param_specs(state.favor))
+
+        def redraw_state(s, sub):
+            # redraw walks the CANONICAL per-block favor tree (the
+            # packed (L, m, d) leaves would get one shared matrix of
+            # the wrong shape); unpack/re-pack run jitted on device
+            new = redraw_projections(
+                {"favor": _unpack_favor(s.favor)}, sub
+            )["favor"]
+            return s.replace(
+                favor=jax.device_put(_pack_favor(new), _favor_shard)
+            )
+
+    else:
+
+        def redraw_state(s, sub):
+            new_vars = redraw_projections({"favor": s.favor}, sub)
+            return s.replace(favor=new_vars["favor"])
+
     history: List[Dict[str, float]] = []
     best_metric = np.inf
     redraw_key = jax.random.key(config.seed + 1234)
@@ -440,8 +562,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                     and steps_since_redraw >= config.feature_redraw_interval
                 ):
                     redraw_key, sub = jax.random.split(redraw_key)
-                    new_vars = redraw_projections({"favor": state.favor}, sub)
-                    state = state.replace(favor=new_vars["favor"])
+                    state = redraw_state(state, sub)
                     steps_since_redraw = 0
 
             epoch_loss = float(epoch_loss) / max(n_it, 1)

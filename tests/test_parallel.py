@@ -322,6 +322,94 @@ def test_pipeline_parallel_grads_match_sequential():
         )
 
 
+def test_pp_train_step_matches_single_device():
+    """Full PP TRAINING step (packed stacked-block state, GPipe apply,
+    optimizer): loss and unpacked params must match the standard
+    single-device step; pack/unpack must round-trip exactly."""
+    import optax
+
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pp_train_step,
+        pack_pp_state,
+        unpack_pp_state,
+    )
+
+    model, variables, x, mesh = _pp_setup()
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(3), 24, learning_rate=1e-3
+    )
+    # SGD pins gradient parity tightly (see the SP tests' rationale)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    targets = jnp.asarray(
+        np.random.default_rng(1).integers(0, 16, x.shape), jnp.int32
+    )
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, x, targets, None, {"lr": 1e-3}
+    )
+
+    packed = pack_pp_state(model, state)
+    # round trip is exact
+    rt = unpack_pp_state(model, packed)
+    for field in ("params", "favor", "opt_state"):
+        for a, b in zip(
+            jax.tree.leaves(getattr(rt, field)),
+            jax.tree.leaves(getattr(state, field)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pp_step = make_pp_train_step(model, tx, mesh, n_microbatches=4)
+    pp_state, pp_metrics = jax.jit(pp_step)(packed, x, targets, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(pp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    unpacked = unpack_pp_state(model, pp_state)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(unpacked.params),
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=str(pa),
+        )
+
+
+def test_pp_x_dp_train_step_matches_single_device():
+    """PP×DP: depth over 'pipe', batch over 'data' — one jitted SPMD
+    program; loss parity vs the single-device step."""
+    import optax
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pp_train_step,
+        pack_pp_state,
+    )
+
+    model, variables, x, mesh1d = _pp_setup()
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(3), 24, learning_rate=1e-3
+    )
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    targets = jnp.asarray(
+        np.random.default_rng(2).integers(0, 16, x.shape), jnp.int32
+    )
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref_metrics = jax.jit(ref_step)(state, x, targets, None, {"lr": 1e-3})
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("pipe", "data"))
+    pp_step = make_pp_train_step(
+        model, tx, mesh, n_microbatches=4, data_axis="data"
+    )
+    packed = pack_pp_state(model, state)
+    _, pp_metrics = jax.jit(pp_step)(packed, x, targets, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(pp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+
+
 def test_pipeline_parallel_bad_shapes_raise():
     from synthanatomy_tpu.parallel.pipeline_parallel import (
         make_pipelined_apply,
