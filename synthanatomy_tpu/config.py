@@ -197,6 +197,18 @@ class VQVAEConfig:
                 f"upsample_parameters must have {self.no_levels} levels, got "
                 f"{len(self.upsample_parameters)}"
             )
+        if self.mesh_shape is not None and len(self.mesh_shape) > 1 \
+                and self.mesh_shape[1] > 1:
+            # previously a (d, m>1) mesh silently replicated the conv
+            # model over the model axis (wasted devices) — the VQ-VAE
+            # has no tensor-parallel path; its scale-out is DP (the
+            # reference's DDP equivalent) + ZeRO-1
+            raise ValueError(
+                "the VQ-VAE trains data-parallel only; a model mesh "
+                "axis is not supported — use --mesh_shape='(N,)' "
+                "(+ --zero1); tensor parallelism is a transformer-CLI "
+                "feature"
+            )
 
     # the interface is single-level today but typed as lists for future
     # hierarchical VQ, like the reference (run_vqvae.py:636-637)

@@ -146,3 +146,20 @@ def test_sp_flag_validation():
             mode="training", training_subjects="x", project_directory="y",
             experiment_name="z", sp_shards=2, zero1=True,
         )
+
+
+def test_vqvae_rejects_model_mesh_axis():
+    """(d, m>1) meshes silently replicated the conv model over the
+    model axis before; now an explicit config error points at DP."""
+    from synthanatomy_tpu.config import VQVAEConfig
+
+    with pytest.raises(ValueError, match="data-parallel only"):
+        VQVAEConfig(
+            mode="training", training_subjects="x", project_directory="y",
+            experiment_name="z", mesh_shape=(2, 2),
+        )
+    # (N,) and (N, 1) stay accepted
+    VQVAEConfig(
+        mode="training", training_subjects="x", project_directory="y",
+        experiment_name="z", mesh_shape=(2, 1),
+    )
