@@ -8,8 +8,8 @@ the paper's transformer over the 4-level VQ-VAE latents
 - measured: fused-kernel incremental sampling — the whole 24-layer
   decode step is ONE Pallas call per token (int8 weight streaming,
   bf16 FAVOR accumulators, flat ring-buffer layout; see
-  synthanatomy_tpu/ops/fused_decode.py), batch 8, on the attached TPU
-  chip;
+  synthanatomy_tpu/ops/fused_decode.py), batch 16 (the measured
+  serving sweet spot), on the attached TPU chip;
 - baseline: the reference's sampling algorithm — a full forward over
   the (padded) sequence per generated token with NO cache
   (reference src/networks/transformers/transformer.py:84-93) — run on

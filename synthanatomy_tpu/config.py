@@ -370,12 +370,15 @@ class TransformerConfig:
             )
         for flag in ("sp_shards", "pp_stages"):
             if getattr(self, flag) > 1:
-                if self.mesh_shape is not None and len(self.mesh_shape) > 1 \
-                        and self.mesh_shape[1] > 1:
+                if self.mesh_shape is not None:
+                    # the SP/PP runner derives its own ('data', 'seq'/
+                    # 'pipe') mesh; a silently-ignored explicit mesh
+                    # would mislead (and a model axis would be TP×SP/
+                    # TP×PP, which is unsupported)
                     raise ValueError(
-                        f"{flag} does not compose with a model mesh axis "
-                        f"(TP×SP/TP×PP); use --mesh_shape for TP or "
-                        f"--{flag} alone"
+                        f"{flag} derives the device mesh itself; drop "
+                        f"--mesh_shape (use --mesh_shape for DP/TP or "
+                        f"--{flag} alone)"
                     )
                 if self.zero1:
                     raise ValueError(

@@ -239,7 +239,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
     model_size = mesh.shape.get("model", 1)
     pure_dp = model_size == 1 and not sp_mode and not pp_mode
     n_mesh_dev = int(np.prod(list(mesh.shape.values())))
-    data_size = n_mesh_dev // max(model_size, mesh.shape.get("seq", 1))
+    data_size = mesh.shape.get("data", n_mesh_dev // model_size)
     want_pallas = config.use_pallas_local_attn or config.use_pallas_favor_attn
     tp_manual = False
     donate = 0 if config.donate_state else ()
@@ -595,9 +595,11 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                         else None
                     )
                     _, m = eval_fn(estate, jnp.asarray(inputs), jnp.asarray(targets), conds)
-                    # keep the scalar on device; one host sync per epoch
+                    # keep the scalar on device; ONE host transfer per
+                    # epoch (per-scalar np.asarray would pay the
+                    # tunnel's ~3 ms dispatch floor N times)
                     vlosses.append(m["Loss"])
-                val_ce = float(np.mean([np.asarray(v) for v in vlosses]))
+                val_ce = float(np.asarray(jnp.stack(vlosses)).mean())
                 if config.rank == 0:
                     tb_val.scalars({"Loss-CE": val_ce}, epoch + 1)
                     logger.info(f"eval @ {epoch + 1}: CE={val_ce:.4f}")

@@ -419,8 +419,11 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                                 jax.device_get(last[1][0]), np.float32
                             ),
                         )
+                    # one stacked transfer per metric (not one per
+                    # batch scalar — the tunnel's ~3 ms dispatch floor
+                    # makes per-scalar fetches N serial round trips)
                     return {
-                        k: float(np.mean([np.asarray(v) for v in vs]))
+                        k: float(np.asarray(jnp.stack(vs)).mean())
                         for k, vs in vals.items()
                         if vs
                     }, last

@@ -102,7 +102,7 @@ def test_pp_flag_validation():
             mode="training", training_subjects="x", project_directory="y",
             experiment_name="z", sp_shards=2, pp_stages=2,
         )
-    with pytest.raises(ValueError, match="model mesh axis"):
+    with pytest.raises(ValueError, match="derives the device mesh"):
         TransformerConfig(
             mode="training", training_subjects="x", project_directory="y",
             experiment_name="z", pp_stages=2, mesh_shape=(2, 2),

@@ -136,7 +136,7 @@ def test_cli_sp_mesh_is_data_by_seq(tmp_path, latents_dir, monkeypatch):
 def test_sp_flag_validation():
     from synthanatomy_tpu.config import TransformerConfig
 
-    with pytest.raises(ValueError, match="TP×SP"):
+    with pytest.raises(ValueError, match="derives the device mesh"):
         TransformerConfig(
             mode="training", training_subjects="x", project_directory="y",
             experiment_name="z", sp_shards=2, mesh_shape=(2, 2),
