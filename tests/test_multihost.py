@@ -156,3 +156,130 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+WORKER_SP = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+from synthanatomy_tpu.parallel.distributed import maybe_initialize_distributed
+assert maybe_initialize_distributed(), "expected a 2-process job"
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from synthanatomy_tpu.models.performer import Performer
+from synthanatomy_tpu.parallel.mesh import make_mesh, put_replicated
+from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+from synthanatomy_tpu.train.transformer_steps import (
+    create_transformer_train_state,
+)
+
+seq = 32  # 4 seq shards x window 8
+model = Performer(
+    num_tokens=17, max_seq_len=seq + 1, dim=32, depth=2, heads=4,
+    dim_head=8, local_attn_heads=2, local_window_size=8,
+    nb_features=8, dtype=jnp.float32, scan_chunk=8,
+)
+state, _ = create_transformer_train_state(
+    model, jax.random.key(0), seq + 1, learning_rate=1e-3
+)
+tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+state = state.replace(opt_state=tx.init(state.params))
+
+# DP x SP over BOTH processes: 'data' spans hosts, 'seq' spans the
+# local devices of each — the attention halo/prefix collectives cross
+# the process boundary
+mesh = make_mesh((2, 4), ("data", "seq"))
+sp_step = make_sp_train_step(model, tx, mesh, seq, data_axis="data")
+
+rng = np.random.default_rng(3)
+inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+state_r = put_replicated(mesh, state)
+with jax.set_mesh(mesh):
+    _, metrics = jax.jit(sp_step)(state_r, inputs, targets, {"lr": 1e-3})
+loss = float(jax.device_get(metrics["Loss"]))
+
+out = {"process": jax.process_index(), "loss": loss}
+with open(
+    os.path.join(os.environ["WORKDIR"], f"sp_out_{jax.process_index()}.json"),
+    "w",
+) as f:
+    json.dump(out, f)
+print("WORKER_SP_OK", jax.process_index())
+"""
+
+
+def test_two_process_sp_step(tmp_path):
+    """Sequence-parallel training across a REAL process boundary: a
+    (2 hosts × 4 devices) DP×SP mesh where the FAVOR prefix-state
+    all_gather and the local-window halo ppermute cross hosts.  Both
+    processes must agree, and match the single-process step."""
+    port = _free_port()
+    script = tmp_path / "worker_sp.py"
+    script.write_text(WORKER_SP)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            REPO=REPO,
+            WORKDIR=str(tmp_path),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_SP_OK {pid}" in out
+
+    results = [
+        json.load(open(tmp_path / f"sp_out_{i}.json")) for i in range(2)
+    ]
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # single-process single-device reference on the same batch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from synthanatomy_tpu.models.performer import Performer
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+        make_transformer_train_step,
+    )
+
+    seq = 32
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq + 1, learning_rate=1e-3
+    )
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(3)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+    assert results[0]["loss"] == pytest.approx(
+        float(ref_metrics["Loss"]), rel=1e-5
+    )

@@ -89,9 +89,25 @@ def test_cli_pp_trains_and_matches_single_device(tmp_path, latents_dir):
             rtol=2e-3, atol=5e-4, err_msg=str(path),
         )
 
-    # checkpoints stay canonical (single-device layout/naming)
+    # checkpoints stay canonical (single-device layout/naming) AND
+    # restore into a single-device-shaped state bit-identically to the
+    # returned canonical params — a PP-trained model is droppable into
+    # any non-PP workflow (sampling, conversion, resume)
     ckdir = os.path.join(str(tmp_path), "pp2", "performer", "checkpoints")
-    assert any(n.startswith("checkpoint_epoch=") for n in os.listdir(ckdir))
+    names = [n for n in os.listdir(ckdir) if n.startswith("checkpoint_epoch=")]
+    assert names
+    from synthanatomy_tpu.train import checkpoints as C
+
+    restored = C.load_checkpoint(
+        os.path.join(ckdir, names[0]), jax.device_get(pp["state"])
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(restored.params),
+        jax.tree_util.tree_leaves_with_path(pp["state"].params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(pa)
+        )
 
 
 def test_pp_flag_validation():
