@@ -43,6 +43,12 @@ def run(
     ordering_type: str = "raster_scan",
     evaluation_checkpoint: str = "recent",
     save_latents: bool = True,
+    # conditioned priors (reference performer.py:252-264): one token
+    # index per conditioning variable, e.g.
+    # --conditioning_values='(2,0)'; applied to every generated
+    # volume.  Requires the matching --conditioning_num_tokens=...
+    # network flag the prior was trained with.
+    conditioning_values=None,
     # transformer network flags (TransformerConfig subset)
     **network_flags,
 ):
@@ -96,7 +102,17 @@ def run(
         mode="decoding", evaluation_checkpoint=evaluation_checkpoint,
     )
     seq_len = int(np.prod(latent_shape))
-    t_state, _ = create_transformer_train_state(performer, jax.random.key(seed), seq_len)
+    # a conditioned prior's restore target must include the
+    # conditioning-embedding params (init only creates what's used)
+    conds0 = (
+        [jnp.zeros((1,), jnp.int32)
+         for _ in (t_cfg.conditioning_num_tokens or ())]
+        if t_cfg.conditioning_num_tokens
+        else None
+    )
+    t_state, _ = create_transformer_train_state(
+        performer, jax.random.key(seed), seq_len, conditionings=conds0
+    )
     t_state = C.load_checkpoint(t_ck, t_state)
     stride = int(np.prod([p[1] for p in v_cfg.downsample_parameters]))
     input_shape = tuple(s * stride for s in latent_shape)
@@ -108,9 +124,26 @@ def run(
     p_vars = jax.device_put({"params": t_state.params, "favor": t_state.favor}, dev)
     v_vars = jax.device_put({"params": v_state.g_params, "vq": v_state.vq}, dev)
 
+    conds = None
+    if conditioning_values is not None:
+        vals = conditioning_values
+        if isinstance(vals, (int, float)):
+            vals = (vals,)
+        n_tok = t_cfg.conditioning_num_tokens or ()
+        if len(vals) != len(n_tok):
+            raise ValueError(
+                f"conditioning_values has {len(vals)} entries but the "
+                f"prior was built with conditioning_num_tokens={n_tok!r}"
+            )
+        conds = [
+            jnp.full((batch_size,), int(v), jnp.int32) for v in vals
+        ]
+        logger.info(f"conditioning on token indices {tuple(vals)}")
+
     synth = make_synthesizer(
         performer, vqvae, ordering, batch=batch_size,
         temperature=temperature, top_k=top_k, do_sample=sample,
+        with_conditionings=conds is not None,
     )
     os.makedirs(output_directory or ".", exist_ok=True)
     written = []
@@ -119,7 +152,7 @@ def run(
     t0 = time.perf_counter()
     for b in range(n_batches):
         key, sub = jax.random.split(key)
-        volumes, grids = synth(p_vars, v_vars, sub)
+        volumes, grids = synth(p_vars, v_vars, sub, conds)
         volumes = np.asarray(volumes, np.float32)
         grids = np.asarray(grids).astype(np.uint16)
         for i in range(volumes.shape[0]):
