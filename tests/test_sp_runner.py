@@ -163,3 +163,34 @@ def test_vqvae_rejects_model_mesh_axis():
         mode="training", training_subjects="x", project_directory="y",
         experiment_name="z", mesh_shape=(2, 1),
     )
+
+
+def test_cli_sp_with_conditioning_matches_single_device(tmp_path, latents_dir):
+    """SP training with bos_replacement conditioning through the REAL
+    CLI data path (conditioning CSV join → token embeddings → shard-0
+    injection inside the SP step) must match single-device training."""
+    import pandas as pd
+
+    cond_csv = str(tmp_path / "cond.csv")
+    pd.DataFrame(
+        {
+            "subject": [f"s{i}_quantization_0.npy" for i in range(4)],
+            "age": [60.0, 70.0, 60.0, 70.0],
+        }
+    ).to_csv(cond_csv, index=False)
+    flags = dict(
+        conditioning_path=cond_csv,
+        conditionings=("age",),
+        conditioning_type="bos_replacement",
+        use_pallas_local_attn=False,
+        use_pallas_favor_attn=False,
+    )
+
+    base = _run(
+        str(tmp_path), latents_dir, "cond_single", mesh_shape=(1, 1), **flags
+    )
+    sp = _run(str(tmp_path), latents_dir, "cond_sp4", sp_shards=4, **flags)
+    np.testing.assert_allclose(
+        sp["history"][-1]["Loss"], base["history"][-1]["Loss"], rtol=1e-4
+    )
+    _assert_params_close(base["state"].params, sp["state"].params, atol=5e-4)
