@@ -132,3 +132,43 @@ def test_cli_pp_rejects_indivisible_depth(tmp_path, latents_dir):
             pp_stages=4,  # n_layers=2 not divisible into 4 stages
             use_pallas_local_attn=False, use_pallas_favor_attn=False,
         )
+
+
+def test_cli_pp_with_conditioning_matches_single_device(tmp_path, latents_dir):
+    """PP training with bos_replacement conditioning through the real
+    CLI data path (conditioning handled in the replicated embed prefix
+    outside the pipeline loop) must match single-device training."""
+    import pandas as pd
+
+    cond_csv = str(tmp_path / "cond.csv")
+    pd.DataFrame(
+        {
+            "subject": [f"s{i}_quantization_0.npy" for i in range(4)],
+            "age": [60.0, 70.0, 60.0, 70.0],
+        }
+    ).to_csv(cond_csv, index=False)
+    flags = dict(
+        conditioning_path=cond_csv,
+        conditionings=("age",),
+        conditioning_type="bos_replacement",
+        use_pallas_local_attn=False,
+        use_pallas_favor_attn=False,
+    )
+
+    base = _run(
+        str(tmp_path), latents_dir, "cond_single", mesh_shape=(1, 1), **flags
+    )
+    pp = _run(str(tmp_path), latents_dir, "cond_pp2", pp_stages=2, **flags)
+    np.testing.assert_allclose(
+        pp["history"][-1]["Loss"], base["history"][-1]["Loss"], rtol=1e-4
+    )
+    import jax
+
+    la = dict(jax.tree_util.tree_leaves_with_path(base["state"].params))
+    lb = dict(jax.tree_util.tree_leaves_with_path(pp["state"].params))
+    assert la.keys() == lb.keys()
+    for path in la:
+        np.testing.assert_allclose(
+            np.asarray(la[path]), np.asarray(lb[path]),
+            rtol=2e-3, atol=5e-4, err_msg=str(path),
+        )
