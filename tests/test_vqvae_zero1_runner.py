@@ -1,0 +1,67 @@
+"""CLI-level ZeRO-1 for the VQ-VAE: ``--zero1=True`` under pure DP
+must shard BOTH optimizers' Adam moments over the data axis and train
+to the same loss as the replicated run (the moments are only resharded
+state — the update math is unchanged)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from synthanatomy_tpu.data.nifti import save_nifti
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("niftis")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        save_nifti(
+            str(d / f"subj{i}.nii.gz"),
+            rng.uniform(size=(16, 16, 16)).astype(np.float32),
+        )
+    return str(d)
+
+
+def _run(project_dir, data_dir, name, **extra):
+    from run_vqvae import run as run_vqvae
+
+    flags = dict(
+        mode="training",
+        training_subjects=data_dir,
+        project_directory=project_dir,
+        experiment_name=name,
+        epochs=1,
+        batch_size=2,
+        checkpoint_every=1,
+        num_workers=0,
+        loss="mse",
+        adversarial_component=False,
+        no_levels=2,
+        downsample_parameters=((4, 2, 1, 1), (4, 2, 1, 1)),
+        upsample_parameters=((4, 2, 1, 0, 1), (4, 2, 1, 0, 1)),
+        no_channels=8,
+        no_res_layers=1,
+        num_embeddings=(16,),
+        embedding_dim=(4,),
+        decay=(0.5,),
+        gamma=0.999,
+        compute_dtype="float32",
+        use_pallas_vq=False,
+        seed=7,
+    )
+    flags.update(extra)
+    return run_vqvae(**flags)
+
+
+def test_cli_vqvae_zero1_matches_replicated(tmp_path, data_dir):
+    base = _run(str(tmp_path), data_dir, "repl", mesh_shape=(2,))
+    z1 = _run(str(tmp_path), data_dir, "zero1", mesh_shape=(2,), zero1=True)
+    np.testing.assert_allclose(
+        z1["history"][-1]["Loss-MSE-Reconstruction"],
+        base["history"][-1]["Loss-MSE-Reconstruction"],
+        rtol=1e-5,
+    )
