@@ -636,6 +636,13 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
     logger, dirs, ckpt_path, _, rng = basic_initialization(
         config, "transformer-inference"
     )
+    if config.sp_shards > 1 or config.pp_stages > 1:
+        # sampling is sequential per token; its scale-out lever is the
+        # DP sampler (one fused-kernel instance per chip)
+        logger.warning(
+            "--sp_shards/--pp_stages are training-only flags; "
+            "inference ignores them (sampling scales out data-parallel)"
+        )
     train_ds, _ = _make_datasets(config, logger)
     if config.conditionings and train_ds.conditioning_num_tokens:
         object.__setattr__(
