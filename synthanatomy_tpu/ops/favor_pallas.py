@@ -280,12 +280,10 @@ def _bh_tile(bh: int, chunk: int, m: int) -> int:
     """Batch·head tile per grid step: the chunk sweep is otherwise
     bh·nc small-matmul steps (528 at the paper shape).  Bounded so the
     ~6 live fp32 (bt, c, m) feature/score tensors stay well inside the
-    16 MB VMEM (same scoped-stack reasoning as the local kernel)."""
-    budget = 6 * 1024 * 1024
-    bt = 8
-    while bt > 1 and (bh % bt != 0 or 6 * bt * chunk * m * 4 > budget):
-        bt -= 1
-    return bt
+    16 MB VMEM (shared heuristic: ops/tiling.py)."""
+    from synthanatomy_tpu.ops.tiling import vmem_bh_tile
+
+    return vmem_bh_tile(bh, chunk * m, live=6)
 
 
 def _specs(bt: int, chunk: int, d: int, nc: int, reverse: bool):

@@ -224,17 +224,11 @@ def _bucketize(x, s: int):
 def _bh_tile(bh: int, s: int, span: int, *, live_tiles: int) -> int:
     """Batch·head tile per grid step: amortizes the per-step fixed
     costs over several score tiles, bounded so ``live_tiles`` fp32
-    (bt, s, span) tensors stay well inside VMEM (~16 MB/core)."""
-    # fp32 score tiles are only part of the stack (operand double
-    # buffers, concat copies and outputs share the ~16 MB): budget the
-    # tile model well under the limit (bt=6 at the paper shape hit 17 MB)
-    budget = 6 * 1024 * 1024
-    bt = 8
-    while bt > 1 and (
-        bh % bt != 0 or live_tiles * bt * s * span * 4 > budget
-    ):
-        bt -= 1
-    return bt
+    (bt, s, span) tensors stay well inside VMEM (shared heuristic:
+    ops/tiling.py)."""
+    from synthanatomy_tpu.ops.tiling import vmem_bh_tile
+
+    return vmem_bh_tile(bh, s * span, live=live_tiles)
 
 
 def _block_specs(s: int, d: int, nblk: int, nl: int, bt: int):

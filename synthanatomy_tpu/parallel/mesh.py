@@ -50,7 +50,15 @@ def make_mesh(
             f"mesh_shape {mesh_shape} needs {need} devices, have {n}"
         )
     # an explicit smaller mesh uses the leading devices (debug meshes
-    # on many-device hosts)
+    # on many-device hosts) — loudly, so a stale/typo'd mesh_shape
+    # doesn't silently train at a fraction of the machine
+    if need < n:
+        import logging
+
+        logging.getLogger("synthanatomy_tpu").warning(
+            f"mesh {mesh_shape} uses {need} of {n} devices; "
+            f"{n - need} device(s) idle"
+        )
     dev_array = np.asarray(devices[:need]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names[: len(mesh_shape)])
 

@@ -245,6 +245,8 @@ def make_tp_train_step(
     *,
     axis: str = "model",
     use_pallas: bool = False,
+    use_pallas_local: bool = None,
+    use_pallas_favor: bool = None,
 ) -> Callable:
     """Build ``step(state, inputs, targets, sched) -> (state, metrics)``
     with the Performer tensor-sharded over ``mesh[axis]``.
@@ -252,7 +254,9 @@ def make_tp_train_step(
     ``state.params`` must be the PACKED tree (:func:`pack_tp_params`)
     placed with :func:`tp_param_specs` shardings (the optimizer state
     follows the same specs — sharded Adam).  ``use_pallas=True`` runs
-    the per-device attention through the Pallas kernels (TPU only).
+    the per-device attention through the Pallas kernels (TPU only);
+    ``use_pallas_local``/``use_pallas_favor`` override per kernel
+    family (the CLI's two flags are independent).
     Restrictions: pre-LayerNorm blocks, no ReZero/ScaleNorm, no
     dropout RNG (deterministic), no conditioning, no per-layer rotary.
     """
@@ -278,8 +282,12 @@ def make_tp_train_step(
         out_bias=False,  # replicated out-bias would psum P times
         scan_chunk=model.scan_chunk,
         no_projection=model.no_projection,
-        use_pallas_local=use_pallas,
-        use_pallas_favor=use_pallas,
+        use_pallas_local=(
+            use_pallas if use_pallas_local is None else use_pallas_local
+        ),
+        use_pallas_favor=(
+            use_pallas if use_pallas_favor is None else use_pallas_favor
+        ),
         attn_compute_dtype=model.attn_compute_dtype,
         dtype=model.dtype,
     )

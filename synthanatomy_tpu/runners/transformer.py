@@ -341,11 +341,16 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         pure_dp
         and n_mesh_dev > 1
         and want_pallas
+        and not config.zero1
     ):
         # pure-DP multi-chip: per-device shard_map step (one kernel
         # instance per device, no partitioner in the loop) — tested
         # equal to the GSPMD step, which also keeps the kernels via
-        # custom_partitioning
+        # custom_partitioning.  NOT used with --zero1: the shard_map
+        # specs declare the whole state replicated, which would
+        # silently re-replicate the sharded Adam moments; the GSPMD
+        # step below honors the ZeRO-1 sharding (and still runs the
+        # kernels via custom_partitioning).
         from synthanatomy_tpu.train.transformer_steps import (
             make_transformer_train_step_dp,
         )
@@ -360,7 +365,11 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
         )
 
         tp_step = make_tp_train_step(
-            model, tx, mesh, use_pallas=want_pallas
+            model, tx, mesh,
+            # the two kernel families are independently flagged; an
+            # explicit opt-out of one must not force it back on
+            use_pallas_local=config.use_pallas_local_attn,
+            use_pallas_favor=config.use_pallas_favor_attn,
         )
         step_fn = jax.jit(
             lambda s, i, t, c, sched: tp_step(s, i, t, sched),

@@ -177,6 +177,32 @@ def _scheduled(config: VQVAEConfig, epoch: int, epoch_length: int) -> Dict[str, 
     }
 
 
+def make_finetune_gate(lo: float, hi: float, patience: int):
+    """Device-side adversarial finetune gate (AdversarialFinetuneHandler
+    semantics, reference src/handlers/vqvae.py:141-170): count the
+    consecutive-steps streak of the D loss inside [lo, hi]; once the
+    streak reaches ``patience``, generator training is released.
+
+    The in-range streak counter lives on device — a float() on the D
+    loss every step would host-sync and serialize dispatch for the
+    entire finetune phase.  The release decision is STICKY
+    (``released |= streak >= patience``) so a streak that completes
+    and then breaks between the runner's periodic host checks is never
+    lost — the periodic read only delays the release, it cannot miss
+    one.  Returns a jitted ``(counter, released, d_loss) ->
+    (counter, released)``."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gate_update(counter, released, d_loss):
+        in_range = (d_loss >= lo) & (d_loss <= hi)
+        counter = jnp.where(in_range, counter + 1, 0)
+        return counter, released | (counter >= patience)
+
+    return gate_update
+
+
 def training(config: VQVAEConfig) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -262,18 +288,11 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
     if finetune_gate:
         gate_lo, gate_hi = config.finetune_adversarial_component
 
-        # the in-range streak counter lives on device: a float() on the
-        # D loss every step would host-sync and serialize dispatch for
-        # the entire finetune phase (AdversarialFinetuneHandler checks
-        # per iteration, src/handlers/vqvae.py:141-170 — same semantics,
-        # but the host only reads the counter every gate_check_every
-        # steps, so the release can land at most that many steps late)
-        @jax.jit
-        def gate_update(counter, d_loss):
-            in_range = (d_loss >= gate_lo) & (d_loss <= gate_hi)
-            return jnp.where(in_range, counter + 1, 0)
-
+        gate_update = make_finetune_gate(
+            gate_lo, gate_hi, int(config.finetune_patience)
+        )
         gate_counter = jnp.zeros((), jnp.int32)
+        gate_released = jnp.zeros((), jnp.bool_)
         gate_check_every = max(1, min(int(config.finetune_patience), 16))
     step_fn = build_step(not g_frozen)
     eval_step = jax.jit(make_vqvae_eval_step(model, loss_name=config.loss))
@@ -352,13 +371,11 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 # counter update is an async jitted op — only the
                 # periodic check below touches the host
                 if g_frozen and "Loss-Discriminator-Total" in metrics:
-                    gate_counter = gate_update(
-                        gate_counter, metrics["Loss-Discriminator-Total"]
+                    gate_counter, gate_released = gate_update(
+                        gate_counter, gate_released,
+                        metrics["Loss-Discriminator-Total"],
                     )
-                    if (
-                        n_it % gate_check_every == 0
-                        and int(gate_counter) >= config.finetune_patience
-                    ):
+                    if n_it % gate_check_every == 0 and bool(gate_released):
                         g_frozen = False
                         step_fn = build_step(True)
                         logger.info("Finetune gate released: generator training on")
@@ -366,7 +383,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
             # epoch-boundary gate check (one host sync per epoch) so a
             # release never slips past an epoch end
             if g_frozen and gate_counter is not None:
-                if int(gate_counter) >= config.finetune_patience:
+                if bool(gate_released):
                     g_frozen = False
                     step_fn = build_step(True)
                     logger.info("Finetune gate released: generator training on")

@@ -225,6 +225,16 @@ def test_zero1_optimizer_sharding_matches_replicated():
     b = np.asarray(ref_state.params["token_emb"]["embedding"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
+    # the updated moments must STAY sharded (ZeRO-1's whole point is
+    # the per-device memory saving); a step that gathers them back to
+    # replicated would silently defeat the feature
+    moment_leaves = [
+        leaf for leaf in jax.tree.leaves(out_state.opt_state)
+        if hasattr(leaf, "sharding") and leaf.ndim >= 1 and leaf.size > 8
+    ]
+    assert moment_leaves
+    assert any(not leaf.sharding.is_fully_replicated for leaf in moment_leaves)
+
 
 def test_local_attention_sequence_parallel_matches_single_device():
     """Halo-exchange context parallelism for the local heads must equal

@@ -151,3 +151,31 @@ def test_cli_zero1_shards_moments(tmp_path, latents_dir):
         use_pallas_local_attn=False, use_pallas_favor_attn=False,
     )
     assert np.isfinite(res["history"][-1]["Loss"])
+
+
+def test_cli_zero1_with_pallas_flags_avoids_dp_shard_map(
+    tmp_path, latents_dir, monkeypatch
+):
+    """Regression: with the (default-on) Pallas attention flags, the
+    pure-DP multi-chip branch used the shard_map DP step whose P()
+    specs silently RE-REPLICATED the ZeRO-1-sharded Adam moments while
+    the runner logged them as sharded.  With --zero1 the runner must
+    take the GSPMD step (kernels stay active via custom_partitioning),
+    which honors the sharding."""
+    called = {}
+    from synthanatomy_tpu.train import transformer_steps as TS
+
+    orig = TS.make_transformer_train_step_dp
+
+    def spy(*a, **k):
+        called["dp_step"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(TS, "make_transformer_train_step_dp", spy)
+    res = _run(
+        str(tmp_path), latents_dir, "zero1_pallas",
+        mesh_shape=(2,), zero1=True,
+        use_pallas_local_attn=True, use_pallas_favor_attn=True,
+    )
+    assert "dp_step" not in called
+    assert np.isfinite(res["history"][-1]["Loss"])

@@ -65,3 +65,33 @@ def test_cli_vqvae_zero1_matches_replicated(tmp_path, data_dir):
         base["history"][-1]["Loss-MSE-Reconstruction"],
         rtol=1e-5,
     )
+
+
+def test_finetune_gate_release_is_sticky():
+    """Regression: the release must survive a streak that completes and
+    then BREAKS before the host's periodic check — the old counter-only
+    gate (reset to 0 on the first out-of-range step) lost it and could
+    freeze the generator forever."""
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.runners.vqvae import make_finetune_gate
+
+    gate = make_finetune_gate(0.4, 0.6, patience=3)
+    counter = jnp.zeros((), jnp.int32)
+    released = jnp.zeros((), jnp.bool_)
+    # 3 in-range steps complete the streak...
+    for _ in range(3):
+        counter, released = gate(counter, released, jnp.float32(0.5))
+    assert bool(released)
+    # ...then the loss leaves the band BEFORE the host looks: the
+    # counter resets but the release decision must persist
+    counter, released = gate(counter, released, jnp.float32(0.9))
+    assert int(counter) == 0
+    assert bool(released)
+
+    # never-released case stays False
+    c2 = jnp.zeros((), jnp.int32)
+    r2 = jnp.zeros((), jnp.bool_)
+    for v in (0.5, 0.5, 0.9, 0.5, 0.5):
+        c2, r2 = gate(c2, r2, jnp.float32(v))
+    assert not bool(r2)

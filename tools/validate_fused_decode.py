@@ -142,8 +142,11 @@ def main() -> None:
     pemb = variables["params"]["token_emb"]["embedding"]
     ppos = variables["params"]["abs_pos_emb"]["embedding"]
 
+    # embedding tables as ARGUMENTS, not closure captures (CLAUDE.md:
+    # closed-over pytrees bake into the HLO as constants and stall
+    # compilation once the validation model is scaled up)
     @jax.jit
-    def roll(params_f, st, toks):
+    def roll(params_f, st, toks, pemb, ppos):
         def body(carry, t):
             st = carry
             h = (
@@ -158,7 +161,7 @@ def main() -> None:
         st, hs = jax.lax.scan(body, st, jnp.arange(T))
         return hs[-1]
 
-    h_last = roll(params_f, st, toks)
+    h_last = roll(params_f, st, toks, pemb, ppos)
     fn = variables["params"]["final_norm"]
     h32 = jnp.asarray(h_last, jnp.float32)
     mu = h32.mean(-1, keepdims=True)
