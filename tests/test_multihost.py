@@ -283,3 +283,133 @@ def test_two_process_sp_step(tmp_path):
     assert results[0]["loss"] == pytest.approx(
         float(ref_metrics["Loss"]), rel=1e-5
     )
+
+
+WORKER_PP = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+from synthanatomy_tpu.parallel.distributed import maybe_initialize_distributed
+assert maybe_initialize_distributed(), "expected a 2-process job"
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+from synthanatomy_tpu.models.performer import Performer
+from synthanatomy_tpu.parallel.mesh import put_replicated
+from synthanatomy_tpu.parallel.pipeline_parallel import (
+    make_pp_train_step, pack_pp_state,
+)
+from synthanatomy_tpu.train.transformer_steps import (
+    create_transformer_train_state,
+)
+
+seq = 20
+model = Performer(
+    num_tokens=17, max_seq_len=24, dim=32, depth=4, heads=2,
+    dim_head=8, local_attn_heads=1, local_window_size=6,
+    nb_features=8, dtype=jnp.float32, scan_chunk=8,
+)
+state, _ = create_transformer_train_state(
+    model, jax.random.key(0), 24, learning_rate=1e-3
+)
+tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+state = state.replace(opt_state=tx.init(state.params))
+
+# 4-stage pipe spanning BOTH hosts x 2-way DP: the stage->stage
+# activation ppermute crosses the process boundary
+mesh = Mesh(
+    np.asarray(jax.devices()).reshape(4, 2), ("pipe", "data")
+)
+pp_step = make_pp_train_step(
+    model, tx, mesh, n_microbatches=4, data_axis="data"
+)
+packed = put_replicated(mesh, pack_pp_state(model, state))
+
+rng = np.random.default_rng(0)
+inputs = jnp.asarray(rng.integers(0, 16, (8, seq)), jnp.int32)
+targets = jnp.asarray(rng.integers(0, 16, (8, seq)), jnp.int32)
+with jax.set_mesh(mesh):
+    _, metrics = jax.jit(pp_step)(packed, inputs, targets, {"lr": 1e-3})
+loss = float(jax.device_get(metrics["Loss"]))
+
+with open(
+    os.path.join(os.environ["WORKDIR"], f"pp_out_{jax.process_index()}.json"),
+    "w",
+) as f:
+    json.dump({"loss": loss}, f)
+print("WORKER_PP_OK", jax.process_index())
+"""
+
+
+def test_two_process_pp_step(tmp_path):
+    """GPipe training across a REAL process boundary: the 4-stage pipe
+    spans both hosts, so the fill-drain ppermute moves activations
+    across processes.  Both agree and match the single-device step."""
+    port = _free_port()
+    script = tmp_path / "worker_pp.py"
+    script.write_text(WORKER_PP)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            REPO=REPO,
+            WORKDIR=str(tmp_path),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_PP_OK {pid}" in out
+
+    results = [
+        json.load(open(tmp_path / f"pp_out_{i}.json")) for i in range(2)
+    ]
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # single-device reference
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from synthanatomy_tpu.models.performer import Performer
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+        make_transformer_train_step,
+    )
+
+    model = Performer(
+        num_tokens=17, max_seq_len=24, dim=32, depth=4, heads=2,
+        dim_head=8, local_attn_heads=1, local_window_size=6,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), 24, learning_rate=1e-3
+    )
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.integers(0, 16, (8, 20)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (8, 20)), jnp.int32)
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+    assert results[0]["loss"] == pytest.approx(
+        float(ref_metrics["Loss"]), rel=1e-5
+    )
