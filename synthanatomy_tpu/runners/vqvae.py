@@ -16,7 +16,7 @@ reference's checkpoint / eval / logging cadences and output contracts:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 
