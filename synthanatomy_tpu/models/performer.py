@@ -812,7 +812,18 @@ def redraw_projections(variables, rng: jax.Array):
     """Resample every layer's FAVOR+ random-feature projection — the
     functional form of performer-pytorch's
     ``feature_redraw_interval``/``check_redraw_projections``
-    (reference performer.py:223-227).  Returns new variables."""
+    (reference performer.py:223-227).  Returns new variables.
+
+    Jittable (static shapes, trace-time tree walk) — the paper config
+    redraws every step (reference README.md:135
+    ``--feature_redraw_interval=1``), so eager per-leaf dispatch here
+    would serialize training through the device tunnel.  Key folding
+    uses a STABLE hash of the collection keys: Python's ``hash()`` is
+    salted per process for strings, which would give every host of a
+    multi-process DP job a different projection draw and silently
+    diverge the replicas."""
+    import zlib
+
     import flax
 
     favor = variables.get("favor")
@@ -822,7 +833,9 @@ def redraw_projections(variables, rng: jax.Array):
     def _walk(node, key):
         out = {}
         for k, v in node.items():
-            sub_key = jax.random.fold_in(key, hash(k) % (2**31))
+            sub_key = jax.random.fold_in(
+                key, zlib.crc32(str(k).encode()) & 0x7FFFFFFF
+            )
             if isinstance(v, dict):
                 out[k] = _walk(v, sub_key)
             else:

@@ -108,17 +108,16 @@ def make_sp_train_step(
       shard 0's segment, their logits are masked out of the CE.
 
     Constraints: causal attention, no per-layer rotary, no dropout
-    (raise below), spatial_position_emb='fixed' only.  ``seq_len`` is
-    padded up so the shard length divides the local window.
+    (raise below).  Both spatial_position_emb modes work: 'fixed' rows
+    ride the precomputed constant table; 'absolute' tables (the PAPER
+    transformer config, reference README.md:141) are params, looked up
+    INSIDE the loss from static per-shard coordinate indices so their
+    gradients flow.  ``seq_len`` is padded up so the shard length
+    divides the local window.
     """
     if model.rotary_position_emb or model.axial_position_emb:
         raise NotImplementedError(
             "SP training supports absolute/fixed positional embeddings"
-        )
-    if model.spatial_position_emb == "absolute":
-        raise NotImplementedError(
-            "SP training supports spatial_position_emb='fixed' (the "
-            "'absolute' tables are params; use DP or single-device)"
         )
     if model.emb_dropout or model.ff_dropout or model.attn_dropout:
         raise NotImplementedError(
@@ -143,10 +142,44 @@ def make_sp_train_step(
     depth = model.depth
     eps = 1e-6
 
-    def inner(params, favor, inputs, targets, mask, pos_rows, conds, sched, rng):
+    # 'absolute' spatial coordinate embeddings: static (l_pad, n_axes)
+    # coordinate-index + (l_pad, 1) validity-mask arrays, sharded over
+    # the sequence axis; the (parameter) tables are looked up inside
+    # the loss so gradients flow — each global position is owned by
+    # exactly one shard, so the grad psum counts every row once.
+    # Layout mirrors _spatial_pos_sum: token position 0 (BOS) gets the
+    # zero row, position q >= 1 the coords of grid cell q-1; prefix
+    # (k_pre) and alignment-pad positions are masked.
+    abs_spatial = model.spatial_position_emb == "absolute"
+    n_sp_axes = 0
+    sp_idx_g = sp_mask_g = None
+    if abs_spatial:
+        import numpy as _np
+
+        coords = _np.meshgrid(
+            *[_np.arange(s) for s in model.spatial_shape], indexing="ij"
+        )
+        seqs = [
+            _np.asarray(model.ordering(c.reshape(-1))) for c in coords
+        ]
+        n_sp_axes = len(seqs)
+        sp_idx = _np.zeros((l_pad, n_sp_axes), _np.int32)
+        sp_mask = _np.zeros((l_pad, 1), _np.float32)
+        m_rows = min(seq_len - 1, len(seqs[0]), l_pad - k_pre - 1)
+        for i, s in enumerate(seqs):
+            sp_idx[k_pre + 1 : k_pre + 1 + m_rows, i] = s[:m_rows]
+        sp_mask[k_pre + 1 : k_pre + 1 + m_rows] = 1.0
+        sp_idx_g = jnp.asarray(sp_idx)
+        sp_mask_g = jnp.asarray(sp_mask)
+
+    def inner(
+        params, favor, inputs, targets, mask, pos_rows, sp_idx, sp_mask,
+        conds, sched, rng,
+    ):
         """Under shard_map: inputs/targets/mask (B, Ls); pos_rows
-        (Ls, D); conds a (possibly empty) tuple of (B,) int arrays.
-        Returns (grads, loss) — both psum-ed."""
+        (Ls, D); sp_idx/sp_mask (Ls, ·) spatial lookup indices; conds a
+        (possibly empty) tuple of (B,) int arrays.  Returns
+        (grads, loss) — both psum-ed."""
 
         ls = inputs.shape[1]
 
@@ -191,6 +224,14 @@ def make_sp_train_step(
                     table, start, ls, 0
                 ).astype(h.dtype)
             h = h + pos_rows.astype(h.dtype)
+            if abs_spatial:
+                srow = jnp.zeros((ls, model.dim), jnp.float32)
+                for j in range(n_sp_axes):
+                    tbl = p[f"spatial_emb_{j}"]["embedding"]
+                    srow = srow + jnp.asarray(tbl, jnp.float32)[
+                        sp_idx[:, j]
+                    ]
+                h = h + (srow * sp_mask).astype(h.dtype)[None]
             for i in range(depth):
                 h = block.apply(
                     {"params": p[f"block_{i}"], "favor": favor[f"block_{i}"]},
@@ -238,8 +279,8 @@ def make_sp_train_step(
         inner,
         mesh=mesh,
         in_specs=(
-            P(), P(), bspec, bspec, bspec, P(axis, None), P(data_axis),
-            P(), P(),
+            P(), P(), bspec, bspec, bspec, P(axis, None), P(axis, None),
+            P(axis, None), P(data_axis), P(), P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
@@ -273,6 +314,8 @@ def make_sp_train_step(
         )
         grads, loss = inner_sharded(
             state.params, state.favor, inputs_p, targets_p, mask, pos_rows,
+            sp_idx_g if abs_spatial else jnp.zeros((l_pad, 1), jnp.int32),
+            sp_mask_g if abs_spatial else jnp.zeros((l_pad, 1), jnp.float32),
             tuple(conds) if conds is not None else (),
             sched, drop_rng,
         )

@@ -508,28 +508,36 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
             logger.info(f"ZeRO-1: Adam moments sharded over {n_mesh_dev} devices")
         canonicalize = jax.device_get
         eval_view = lambda s: s  # noqa: E731
+    # the redraw runs JITTED: the paper config redraws every step
+    # (--feature_redraw_interval=1), and the eager per-leaf ORF QRs
+    # would serialize training through the device tunnel
     if pp_mode:
         from synthanatomy_tpu.parallel.pipeline_parallel import pack_pp_tree
 
-        _pack_favor = jax.jit(lambda f: pack_pp_tree(model, f))
         _favor_shard = _named(pp_param_specs(state.favor))
+        # redraw walks the CANONICAL per-block favor tree (the packed
+        # (L, m, d) leaves would get one shared matrix of the wrong
+        # shape); unpack → redraw → re-pack is one compiled program
+        _redraw = jax.jit(
+            lambda f, sub: pack_pp_tree(
+                model,
+                redraw_projections(
+                    {"favor": unpack_pp_tree(model, f)}, sub
+                )["favor"],
+            ),
+            out_shardings=_favor_shard,
+        )
 
         def redraw_state(s, sub):
-            # redraw walks the CANONICAL per-block favor tree (the
-            # packed (L, m, d) leaves would get one shared matrix of
-            # the wrong shape); unpack/re-pack run jitted on device
-            new = redraw_projections(
-                {"favor": _unpack_favor(s.favor)}, sub
-            )["favor"]
-            return s.replace(
-                favor=jax.device_put(_pack_favor(new), _favor_shard)
-            )
+            return s.replace(favor=_redraw(s.favor, sub))
 
     else:
+        _redraw = jax.jit(
+            lambda f, sub: redraw_projections({"favor": f}, sub)["favor"]
+        )
 
         def redraw_state(s, sub):
-            new_vars = redraw_projections({"favor": s.favor}, sub)
-            return s.replace(favor=new_vars["favor"])
+            return s.replace(favor=_redraw(s.favor, sub))
 
     history: List[Dict[str, float]] = []
     best_metric = np.inf

@@ -297,3 +297,41 @@ def test_vq_layer_api():
     assert idx.shape == (2, 5, 5)
     emb = layer.apply(variables, idx, method=layer.embed)
     np.testing.assert_allclose(np.asarray(emb).reshape(-1, 4), np.asarray(flat_q))
+
+
+def test_redraw_projections_stable_across_hash_seeds():
+    """Regression: key folding used Python's per-process-salted hash(),
+    so two hosts of a multi-process DP job drew DIFFERENT projection
+    matrices at every redraw (feature_redraw_interval) and silently
+    diverged the replicas.  The stable-hash fold must give identical
+    draws under different PYTHONHASHSEED."""
+    import os
+    import subprocess
+    import sys
+
+    probe = (
+        "import sys; sys.path.insert(0, {!r})\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from synthanatomy_tpu.models.performer import Performer, "
+        "redraw_projections\n"
+        "m = Performer(num_tokens=17, max_seq_len=16, dim=32, depth=2, "
+        "heads=4, dim_head=8, nb_features=8, dtype=jnp.float32, "
+        "scan_chunk=8)\n"
+        "v = m.init({{'params': jax.random.key(0), 'favor': "
+        "jax.random.key(1)}}, jnp.zeros((1, 12), jnp.int32))\n"
+        "out = redraw_projections({{'favor': v['favor']}}, "
+        "jax.random.key(3))['favor']\n"
+        "print(sum(float(jnp.sum(x)) for x in jax.tree.leaves(out)))\n"
+    ).format(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def run(seed):
+        env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", probe], env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout.strip().splitlines()[-1]
+
+    assert run("1") == run("2")
