@@ -179,7 +179,7 @@ def sample_fused(
         local_window=model.local_window_size,
         nb_features=model.nb_features or _default_nb_features(model.dim_head),
         ff_mult=model.ff_mult, quantize=True, state_dtype=state_dtype,
-        ring_quant=ring_quant,
+        ring_quant=ring_quant, use_rezero=model.use_rezero,
     )
     interpret = jax.default_backend() != "tpu"
     step = make_fused_decode_step(cfg, interpret=interpret)

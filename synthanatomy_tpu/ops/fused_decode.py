@@ -84,6 +84,12 @@ class FusedDecodeConfig:
     # the scales fold into the score/probability tiles post-compaction
     # (zero extra bandwidth)
     ring_quant: bool = False
+    # ReZero blocks (the PAPER config, reference README.md:140): no
+    # pre-norms; the per-layer g_attn/g_ff scalars are folded into the
+    # out-projection / FF-down weights at pack time (exact scalar
+    # algebra), so the kernel only needs to SKIP the LayerNorms —
+    # a trace-time branch, zero runtime cost
+    use_rezero: bool = False
 
     @property
     def gh(self) -> int:
@@ -115,7 +121,8 @@ class FusedDecodeConfig:
 
 def supports_fused_decode(model) -> bool:
     """The fused kernel covers the reference's paper configuration
-    (softmax-kernel FAVOR + optional local hybrid heads, pre-LayerNorm,
+    (softmax-kernel FAVOR + optional local hybrid heads, pre-LayerNorm
+    OR ReZero blocks — the paper config uses ReZero, README.md:140 —
     non-GLU FF, no qkv/out biases, no per-layer rotary).  Anything else
     uses the general ``decode_step`` path."""
     gh = model.heads - model.local_attn_heads
@@ -123,7 +130,6 @@ def supports_fused_decode(model) -> bool:
         model.causal
         and not model.generalized_attention
         and not model.no_projection
-        and not model.use_rezero
         and not model.use_scalenorm
         and not model.ff_glu
         and not model.qkv_bias
@@ -175,12 +181,28 @@ def pack_fused_params(model, variables) -> Dict[str, jax.Array]:
         out_w.append(attn["to_out"]["kernel"])
         w1.append(blk["ff"]["w1"]["kernel"])
         b1.append(blk["ff"]["w1"]["bias"])
-        w2.append(blk["ff"]["w2"]["kernel"])
-        b2.append(blk["ff"]["w2"]["bias"])
-        ln1_s.append(blk["norm_attn"]["scale"])
-        ln1_b.append(blk["norm_attn"]["bias"])
-        ln2_s.append(blk["norm_ff"]["scale"])
-        ln2_b.append(blk["norm_ff"]["bias"])
+        if model.use_rezero:
+            # fold the ReZero gains into the weights the outputs flow
+            # through: g·(o@W_out) == o@(g·W_out); g·(x@W2 + b2) ==
+            # x@(g·W2) + g·b2 — exact, and the kernel then just skips
+            # the (nonexistent) pre-norms
+            g_a = jnp.asarray(blk["g_attn"], jnp.float32)[0]
+            g_f = jnp.asarray(blk["g_ff"], jnp.float32)[0]
+            out_w[-1] = jnp.asarray(out_w[-1], jnp.float32) * g_a
+            w2.append(jnp.asarray(blk["ff"]["w2"]["kernel"], jnp.float32) * g_f)
+            b2.append(jnp.asarray(blk["ff"]["w2"]["bias"], jnp.float32) * g_f)
+            zeros_d = jnp.zeros((model.dim,), jnp.float32)
+            ln1_s.append(zeros_d)
+            ln1_b.append(zeros_d)
+            ln2_s.append(zeros_d)
+            ln2_b.append(zeros_d)
+        else:
+            w2.append(blk["ff"]["w2"]["kernel"])
+            b2.append(blk["ff"]["w2"]["bias"])
+            ln1_s.append(blk["norm_attn"]["scale"])
+            ln1_b.append(blk["norm_attn"]["bias"])
+            ln2_s.append(blk["norm_ff"]["scale"])
+            ln2_b.append(blk["norm_ff"]["bias"])
         p = jnp.asarray(favor[f"block_{i}"]["attn"]["projection"], jnp.float32)
         m = p.shape[0]
         pt = p.T  # (dh, m)
@@ -348,7 +370,11 @@ def fused_decode_step_ref(
     h = jnp.asarray(h, jnp.float32)
     for i in range(cfg.depth):
         projT = params["proj2"][i][:dh, :m]
-        a = _layernorm_ref(h, params["ln1_s"][i, 0], params["ln1_b"][i, 0])
+        # ReZero: no pre-norm (the g gains are folded into the weights)
+        a = (
+            h if cfg.use_rezero
+            else _layernorm_ref(h, params["ln1_s"][i, 0], params["ln1_b"][i, 0])
+        )
         y = matmul(a, params["wqkv_q"][i], params["wqkv_s"][i],
                    params["_wqkv_f"][i])
         q, k, v = jnp.split(y, 3, axis=-1)  # (B, H*dh) each
@@ -416,7 +442,10 @@ def fused_decode_step_ref(
         attn_out = matmul(o, params["wout_q"][i], params["wout_s"][i],
                           params["_wout_f"][i])
         h = h + attn_out
-        f = _layernorm_ref(h, params["ln2_s"][i, 0], params["ln2_b"][i, 0])
+        f = (
+            h if cfg.use_rezero
+            else _layernorm_ref(h, params["ln2_s"][i, 0], params["ln2_b"][i, 0])
+        )
         f1 = matmul(f, params["w1_q"][i], params["w1_s"][i], params["_w1_f"][i])
         f1 = jax.nn.gelu(f1 + params["b1"][i, 0])
         f2 = matmul(f1, params["w2_q"][i], params["w2_s"][i], params["_w2_f"][i])
@@ -495,7 +524,9 @@ def _build_kernel(cfg: FusedDecodeConfig):
             return y * ws_ref[0]
 
         # ---- attention ----------------------------------------------------
-        a = layernorm(h, ln1_s, ln1_b)
+        # ReZero (static branch, zero runtime cost): no pre-norm — the
+        # g_attn/g_ff gains are folded into wout/w2/b2 at pack time
+        a = h if cfg.use_rezero else layernorm(h, ln1_s, ln1_b)
         y = qmat(a, wqkv_q, wqkv_s)  # (B, 3*H*dh) f32
         q = y[:, : H * dh]
         k = y[:, H * dh : 2 * H * dh]
@@ -645,7 +676,7 @@ def _build_kernel(cfg: FusedDecodeConfig):
         h = h + attn_out
 
         # ---- feed-forward --------------------------------------------------
-        f = layernorm(h, ln2_s, ln2_b)
+        f = h if cfg.use_rezero else layernorm(h, ln2_s, ln2_b)
         f1 = qmat(f, w1_q, w1_s) + b1[0]
         f1 = jax.nn.gelu(f1)
         f2 = qmat(f1, w2_q, w2_s) + b2[0]

@@ -201,9 +201,15 @@ def test_supports_fused_decode_gating():
     good = Performer(num_tokens=9, max_seq_len=8, dim=128, depth=1, heads=2,
                      dim_head=64, local_attn_heads=1, dtype=jnp.bfloat16)
     assert supports_fused_decode(good)
+    # ReZero is SUPPORTED (the paper config) — gains fold into weights
+    assert supports_fused_decode(
+        Performer(num_tokens=9, max_seq_len=8, dim=128, depth=1, heads=2,
+                  dim_head=64, local_attn_heads=1, dtype=jnp.bfloat16,
+                  use_rezero=True)
+    )
     for kw in (
         dict(generalized_attention=True),
-        dict(use_rezero=True),
+        dict(use_scalenorm=True),
         dict(ff_glu=True),
         dict(local_attn_heads=2),  # gh == 0
         dict(rotary_position_emb=True),
@@ -402,3 +408,113 @@ def test_trained_model_fused_int8_greedy_matches_exact():
     agree = (exact == fused).mean()
     assert agree == 1.0, f"trained fused-vs-exact agreement {agree}"
     np.testing.assert_array_equal(exact[0], pattern.reshape(grid))
+
+
+def test_fused_rezero_matches_general_decode(token_seq):
+    """ReZero blocks (the PAPER config, reference README.md:140): the
+    g_attn/g_ff gains fold into the out-projection/FF-down weights at
+    pack time and the kernel skips the pre-norms — the fused reference,
+    the int8 path AND the Pallas kernel (interpret) must track the
+    general decode path."""
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=64, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DH, local_attn_heads=LH, local_window_size=WIN,
+        nb_features=M, dtype=jnp.bfloat16, use_rezero=True,
+    )
+    x0 = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)}, x0
+    )
+    # ReZero initializes the gains at 0 (identity blocks) — set them to
+    # nontrivial values so the test exercises the fold
+    p = dict(variables["params"])
+    for i in range(DEPTH):
+        blk = dict(p[f"block_{i}"])
+        blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+        blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+        p[f"block_{i}"] = blk
+    variables = {"params": p, "favor": variables["favor"]}
+
+    cfg = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=False, state_dtype=jnp.float32, use_rezero=True,
+    )
+    params = pack_fused_params(model, variables)
+
+    lg_f = _run_fused(model, variables, cfg, params, token_seq,
+                      use_quantized=False)
+    lg_g = _run_general(model, variables, token_seq)
+    np.testing.assert_allclose(
+        np.asarray(lg_f), np.asarray(lg_g), rtol=0.08, atol=0.08
+    )
+    agree = (
+        np.argmax(np.asarray(lg_f), -1) == np.argmax(np.asarray(lg_g), -1)
+    ).mean()
+    assert agree >= 0.95, f"greedy agreement {agree}"
+
+    # Pallas kernel (interpret) vs the quantized reference
+    cfgq = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=True, state_dtype=jnp.float32, use_rezero=True,
+    )
+    step = make_fused_decode_step(cfgq, interpret=True)
+    state_k = init_fused_state(cfgq)
+    state_r = init_fused_state(cfgq)
+    for t in range(8):
+        h = _embed(model, variables, token_seq[:, t], t)
+        hk, state_k, ka_k, va_k = step(params, state_k, h, t)
+        hr, state_r, ka_r, va_r = fused_decode_step_ref(
+            params, state_r, h, jnp.asarray(t), cfgq, use_quantized=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(hk), np.asarray(hr), rtol=3e-2, atol=3e-2
+        )
+        state_k = update_rings(state_k, ka_k, va_k, t, cfgq)
+        state_r = update_rings(state_r, ka_r, va_r, t, cfgq)
+
+
+def test_make_sampler_fused_auto_selects_rezero():
+    """The paper-config (ReZero) model must take the FUSED path under
+    fused='auto'."""
+    from synthanatomy_tpu.models.sampling import _fused_ok
+
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=28, dim=DIM, depth=1, heads=HEADS,
+        dim_head=DH, local_attn_heads=LH, local_window_size=WIN,
+        nb_features=M, dtype=jnp.bfloat16, use_rezero=True,
+    )
+    assert _fused_ok(model, False)
+
+
+def test_make_sampler_fused_rezero_end_to_end():
+    """Full fused sampling with the ReZero (paper-config) block form:
+    greedy fused output must equal the exact-path greedy output."""
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.sampling import make_sampler
+
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=16, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DH, local_attn_heads=LH, local_window_size=WIN,
+        nb_features=M, dtype=jnp.bfloat16, use_rezero=True,
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    p = dict(variables["params"])
+    for i in range(DEPTH):
+        blk = dict(p[f"block_{i}"])
+        blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+        blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+        p[f"block_{i}"] = blk
+    variables = {"params": p, "favor": variables["favor"]}
+
+    ordering = Ordering("raster_scan", 3, (2, 3, 2))
+    fused = make_sampler(model, ordering, batch=B, do_sample=False, fused=True)
+    exact = make_sampler(model, ordering, batch=B, do_sample=False, fused=False)
+    gf = np.asarray(fused(variables, jax.random.key(0)))
+    ge = np.asarray(exact(variables, jax.random.key(0)))
+    agree = (gf == ge).mean()
+    assert agree >= 0.9, f"greedy agreement {agree}"
