@@ -42,9 +42,14 @@ def main() -> None:
     SEQ = int(np.prod(GRID))
 
     ordering = Ordering("raster_scan", 3, GRID)
+    # the EXACT paper block/embedding form (reference README.md:140-141):
+    # ReZero blocks + learned spatial coordinate tables — the released
+    # checkpoints carry these, and the fused kernel supports both
     model = Performer(
         num_tokens=2049, max_seq_len=SEQ + 1, dim=512, depth=24, heads=16,
         dim_head=64, local_attn_heads=8, local_window_size=420,
+        use_rezero=True, spatial_position_emb="absolute",
+        spatial_shape=GRID, ordering=ordering,
         dtype=jnp.bfloat16,
     )
     x0 = jnp.zeros((1, 8), jnp.int32)

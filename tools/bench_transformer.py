@@ -49,6 +49,13 @@ def main() -> None:
     p.add_argument("--pallas-local", action="store_true")
     p.add_argument("--pallas-favor", action="store_true")
     p.add_argument("--reversible", action="store_true")
+    p.add_argument("--use-rezero", action="store_true",
+                   help="paper block form (reference README.md:140)")
+    p.add_argument("--spatial-emb", default=None,
+                   choices=["fixed", "absolute"],
+                   help="spatial coordinate embeddings (paper: absolute)")
+    p.add_argument("--grid", default="10,14,10",
+                   help="latent grid for --spatial-emb (prod == --seq)")
     p.add_argument("--attn-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="internal attention matmul dtype (fp32 accumulate)")
@@ -67,6 +74,14 @@ def main() -> None:
     )
 
     L = args.seq + 1  # +BOS
+    sp_grid = sp_ordering = None
+    if args.spatial_emb:
+        from synthanatomy_tpu.models.ordering import Ordering
+
+        sp_grid = tuple(int(s) for s in args.grid.split(","))
+        assert int(np.prod(sp_grid)) == args.seq, (sp_grid, args.seq)
+        sp_ordering = Ordering("raster_scan", 3, sp_grid)
+
     model = Performer(
         num_tokens=args.vocab + 1,
         max_seq_len=L,
@@ -84,6 +99,10 @@ def main() -> None:
         attn_compute_dtype=jnp.bfloat16
         if args.attn_dtype == "bfloat16"
         else jnp.float32,
+        use_rezero=args.use_rezero,
+        spatial_position_emb=args.spatial_emb,
+        spatial_shape=sp_grid,
+        ordering=sp_ordering,
         dtype=jnp.bfloat16,
     )
 
