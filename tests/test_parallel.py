@@ -969,3 +969,47 @@ def test_tensor_parallel_step_use_pallas_flag_traces():
     x = jnp.zeros((2, seq), jnp.int32)
     _, metrics = step(state, x, x, {"lr": 1e-3})
     assert np.isfinite(float(metrics["Loss"]))
+
+
+def test_pp_train_step_paper_config_features():
+    """PP trains the exact paper block/embedding form (ReZero +
+    'absolute' spatial coordinate tables, reference README.md:140-141):
+    the stacked (L, 1) ReZero gains scan per stage and the spatial
+    lookups run in the replicated embed prefix — loss parity vs the
+    single-device step."""
+    import optax
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.parallel.pipeline_parallel import (
+        make_pp_train_step,
+        pack_pp_state,
+    )
+
+    shape = (2, 2, 5)
+    seq = 20
+    ordering = Ordering("raster_scan", 3, shape)
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=32, depth=4, heads=2,
+        dim_head=8, local_attn_heads=1, local_window_size=6,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        use_rezero=True, spatial_position_emb="absolute",
+        spatial_shape=shape, ordering=ordering,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq + 1, learning_rate=1e-3
+    )
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 16, (8, seq)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 16, (8, seq)), jnp.int32)
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref = jax.jit(ref_step)(state, x, y, None, {"lr": 1e-3})
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    pp_step = make_pp_train_step(model, tx, mesh, n_microbatches=4)
+    _, m = jax.jit(pp_step)(pack_pp_state(model, state), x, y, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(m["Loss"]), float(ref["Loss"]), rtol=1e-5
+    )
