@@ -28,8 +28,19 @@ import numpy as np
 
 
 def main() -> None:
+    # Fail fast (with a traceback) if PJRT client init hangs — a
+    # timeout-killed on-chip run can wedge the axon tunnel for hours
+    # (CLAUDE.md), and a diagnosed 10-min failure beats an indefinite
+    # hang at round end.  Cancelled once the backend is up.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, exit=True)
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    faulthandler.cancel_dump_traceback_later()
 
     from synthanatomy_tpu.models.ordering import Ordering
     from synthanatomy_tpu.models.performer import Performer
