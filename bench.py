@@ -41,6 +41,9 @@ def main() -> None:
 
     jax.devices()  # force backend init under the watchdog
     faulthandler.cancel_dump_traceback_later()
+    # the 24-layer paper-model compiles are multi-minute through the
+    # tunnel; reuse them across runs (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from synthanatomy_tpu.models.ordering import Ordering
     from synthanatomy_tpu.models.performer import Performer

@@ -70,6 +70,22 @@ def _on_tpu_default_device() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def spatial_coordinate_sequences(
+    spatial_shape: Sequence[int], ordering: "Ordering"
+) -> List[np.ndarray]:
+    """Per-axis grid-coordinate values, flattened raster-first and
+    permuted into sequence order (reference performer.py:163-171).
+
+    Shared by ``Performer.setup`` and the sequence-parallel train step
+    (`parallel/sequence_parallel.py`) so the spatial-table lookup
+    indices can never drift between training paths and inference.
+    """
+    coords = np.meshgrid(
+        *[np.arange(s) for s in spatial_shape], indexing="ij"
+    )
+    return [np.asarray(ordering(c.reshape(-1))) for c in coords]
+
+
 def _sinusoidal_table(length: int, dim: int) -> np.ndarray:
     inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
     pos = np.arange(length, dtype=np.float64)
@@ -550,13 +566,7 @@ class Performer(nn.Module):
         # ---- spatial coordinate embeddings (performer.py:152-184)
         if self.spatial_position_emb is not None:
             axes = range(len(self.spatial_shape))
-            coords = np.meshgrid(
-                *[np.arange(s) for s in self.spatial_shape], indexing="ij"
-            )
-            seqs = []
-            for i in axes:
-                flat = coords[i].reshape(-1)
-                seqs.append(np.asarray(self.ordering(flat)))
+            seqs = spatial_coordinate_sequences(self.spatial_shape, self.ordering)
             self._spatial_sequences = seqs  # list of (L_grid,) coordinate values
             if self.spatial_position_emb == "absolute":
                 self.spatial_embs = [

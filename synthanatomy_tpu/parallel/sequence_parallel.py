@@ -156,16 +156,18 @@ def make_sp_train_step(
     if abs_spatial:
         import numpy as _np
 
-        coords = _np.meshgrid(
-            *[_np.arange(s) for s in model.spatial_shape], indexing="ij"
+        from synthanatomy_tpu.models.performer import (
+            spatial_coordinate_sequences,
         )
-        seqs = [
-            _np.asarray(model.ordering(c.reshape(-1))) for c in coords
-        ]
+
+        seqs = spatial_coordinate_sequences(model.spatial_shape, model.ordering)
         n_sp_axes = len(seqs)
         sp_idx = _np.zeros((l_pad, n_sp_axes), _np.int32)
         sp_mask = _np.zeros((l_pad, 1), _np.float32)
-        m_rows = min(seq_len - 1, len(seqs[0]), l_pad - k_pre - 1)
+        # the model embeds seq[:-1] (the last grid cell is never an
+        # input token — _spatial_pos_sum), so at most L_grid-1 rows
+        # carry an embedding; positions past that get the zero row
+        m_rows = min(seq_len - 1, len(seqs[0]) - 1, l_pad - k_pre - 1)
         for i, s in enumerate(seqs):
             sp_idx[k_pre + 1 : k_pre + 1 + m_rows, i] = s[:m_rows]
         sp_mask[k_pre + 1 : k_pre + 1 + m_rows] = 1.0

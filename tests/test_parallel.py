@@ -674,6 +674,59 @@ def test_sequence_parallel_paper_config_features():
         )
 
 
+def test_sequence_parallel_full_max_seq_len_spatial_rows():
+    """Regression: with seq_len = L_grid + 1 (the model's full
+    max_seq_len — reachable through the direct API), the LAST input
+    position must get the zero spatial row like _spatial_pos_sum
+    (which embeds seq[:-1]), not the last grid cell's embedding."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.parallel.sequence_parallel import make_sp_train_step
+
+    shape = (2, 4, 4)
+    seq = int(np.prod(shape))
+    ordering = Ordering("raster_scan", 3, shape)
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        use_rezero=True,
+        spatial_position_emb="absolute", spatial_shape=shape,
+        ordering=ordering,
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq + 1, learning_rate=1e-3
+    )
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(29)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq + 1)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq + 1)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, None, {"lr": 1e-3}
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sp_step = make_sp_train_step(model, tx, mesh, seq + 1)
+    sp_state, sp_metrics = jax.jit(sp_step)(state, inputs, targets, {"lr": 1e-3})
+    np.testing.assert_allclose(
+        float(sp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(sp_state.params),
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=str(pa),
+        )
+
+
 def test_dp_x_sp_train_step_matches_single_device():
     """2-D DP×SP mesh (batch AND sequence sharded): gradients reduce
     over both axes and must match the single-device step."""

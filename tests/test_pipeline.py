@@ -179,3 +179,13 @@ def test_synthesize_cli_conditioned(tmp_path):
             num_volumes=2, batch_size=2,
             conditioning_values=(2, 3), **net_flags,
         )
+
+    # OMITTING the values for a conditioned prior is also a loud error
+    # (unconditioned sampling from a bos_replacement-trained model is
+    # silently out-of-distribution)
+    with _pytest.raises(ValueError, match="conditioning_num_tokens"):
+        synth_run(
+            project_directory=str(tmp_path), experiment_name="exp",
+            output_directory=out_dir, latent_shape=(3, 3, 3),
+            num_volumes=2, batch_size=2, **net_flags,
+        )

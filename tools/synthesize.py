@@ -125,6 +125,16 @@ def run(
     v_vars = jax.device_put({"params": v_state.g_params, "vq": v_state.vq}, dev)
 
     conds = None
+    if t_cfg.conditioning_num_tokens and conditioning_values is None:
+        # a conditioned prior never saw the raw BOS embedding in
+        # training (bos_replacement overwrites it every step) —
+        # sampling it unconditioned would be silently out-of-
+        # distribution, so demand explicit values like the runner does
+        raise ValueError(
+            "the prior was trained with conditioning_num_tokens="
+            f"{t_cfg.conditioning_num_tokens!r}; pass "
+            "--conditioning_values=(v0,...) to sample from it"
+        )
     if conditioning_values is not None:
         vals = conditioning_values
         if isinstance(vals, (int, float)):
