@@ -81,7 +81,20 @@ def main() -> None:
         model, ordering, batch=BATCH, temperature=1.0, fused="auto",
         ring_quant=True,  # int8 local-head rings: +17%, quality-tested
     )
-    np.asarray(sampler(variables, jax.random.key(2)))  # compile
+    try:
+        np.asarray(sampler(variables, jax.random.key(2)))  # compile
+    except Exception as e:  # pragma: no cover - defensive headline guard
+        # the fused Pallas step is the fast path; if it fails to compile
+        # on this backend, still report an honest (slower) headline from
+        # the exact XLA decode path rather than no number at all
+        import sys
+
+        print(f"fused sampler failed ({type(e).__name__}: {e}); "
+              "falling back to the exact path", file=sys.stderr)
+        sampler = make_sampler(
+            model, ordering, batch=BATCH, temperature=1.0, fused=False,
+        )
+        np.asarray(sampler(variables, jax.random.key(2)))  # compile
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
