@@ -33,6 +33,7 @@ __all__ = [
     "top_k_logits",
     "sample_next_index",
     "sample",
+    "combined_position_table",
     "sample_fused",
     "sample_naive",
     "make_sampler",
@@ -133,6 +134,27 @@ def sample(
     return _grid_from_sequence(tokens, ordering)
 
 
+def combined_position_table(model, variables, n: int) -> jax.Array:
+    """(n, dim) f32 table of everything position-dependent the model
+    adds to a decoded token's embedding: the positional row plus the
+    BOS-right-shifted spatial coordinate rows (zero row at position 0).
+
+    The fused decode step streams one row of this per token instead of
+    re-running the embedding modules; it must stay equal to what
+    ``Performer.decode_step`` adds (pinned by
+    tests/test_fused_decode.py on the paper embedding form).
+    """
+
+    def _tables(m, nn):
+        pos = m._pos_emb(nn)[0].astype(jnp.float32)
+        sp = m._spatial_pos_sum(nn)
+        if sp is not None:
+            pos = pos + sp[0].astype(jnp.float32)
+        return pos
+
+    return model.apply(variables, n, method=_tables)
+
+
 def sample_fused(
     model,
     variables,
@@ -196,15 +218,7 @@ def sample_fused(
         head_w = jnp.asarray(p["to_out"]["kernel"]).astype(jnp.bfloat16)
         head_b = jnp.asarray(p["to_out"]["bias"], jnp.float32)
 
-    # combined positional (+ spatial, BOS-right-shifted) table, (L, dim)
-    def _tables(m, n):
-        pos = m._pos_emb(n)[0].astype(jnp.float32)
-        sp = m._spatial_pos_sum(n)
-        if sp is not None:
-            pos = pos + sp[0].astype(jnp.float32)
-        return pos
-
-    pos_table = model.apply(variables, seq_len, method=_tables)
+    pos_table = combined_position_table(model, variables, seq_len)
 
     cond_sum = None
     if conditionings is not None and model.conditioning_type == "bos_replacement":

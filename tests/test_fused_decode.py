@@ -351,12 +351,16 @@ def test_fused_sampler_bos_replacement_conditioning():
     assert agree >= 0.8, f"fused vs general agreement {agree}"
 
 
-def test_trained_model_fused_int8_greedy_matches_exact():
+@pytest.mark.parametrize("paper_form", [False, True], ids=["preln", "rezero+spatial"])
+def test_trained_model_fused_int8_greedy_matches_exact(paper_form):
     """Quality guard on a TRAINED model (round-2 calibration used
     random weights, whose flat logits make quantization guards loose):
     train a tiny-but-real prior to low CE on a deterministic pattern,
     then the fused path with int8 weights AND int8 rings must greedily
-    agree with the exact general path.  On-chip validation at 6L/d256
+    agree with the exact general path.  Parametrized over the plain
+    pre-LN form and the PAPER form (ReZero blocks + learned 'absolute'
+    spatial tables, reference README.md:140-141 — the bench.py headline
+    model).  On-chip validation at 6L/d256
     (tools/validate_fused_decode.py) measured 100% agreement and 6.9%
     max relative logit perturbation at logit std 1.67 (BASELINE.md)."""
     from synthanatomy_tpu.models.ordering import Ordering
@@ -374,10 +378,16 @@ def test_trained_model_fused_int8_greedy_matches_exact():
     pattern = (5 * np.arange(seq)) % vocab
     latents = np.broadcast_to(pattern.reshape(grid), (8,) + grid)
 
+    extra = (
+        dict(use_rezero=True, spatial_position_emb="absolute",
+             spatial_shape=grid, ordering=ordering)
+        if paper_form
+        else {}
+    )
     model = Performer(
         num_tokens=vocab + 1, max_seq_len=seq + 1, dim=128, depth=2,
         heads=2, dim_head=64, local_attn_heads=1, local_window_size=4,
-        nb_features=64, dtype=jnp.float32, scan_chunk=8,
+        nb_features=64, dtype=jnp.float32, scan_chunk=8, **extra,
     )
     assert supports_fused_decode(model)
     state, tx = create_transformer_train_state(
@@ -473,6 +483,81 @@ def test_fused_rezero_matches_general_decode(token_seq):
         )
         state_k = update_rings(state_k, ka_k, va_k, t, cfgq)
         state_r = update_rings(state_r, ka_r, va_r, t, cfgq)
+
+
+def test_fused_paper_embedding_form_matches_general_decode(token_seq):
+    """The headline bench model form (reference README.md:140-141):
+    ReZero blocks + learned 'absolute' spatial coordinate tables.  The
+    fused path embeds tokens with a precomputed combined
+    positional+spatial table (``combined_position_table``) instead of
+    re-running the embedding modules; teacher-forced logits must track
+    ``Performer.decode_step`` (which looks the spatial row up per
+    position via ``_spatial_pos_at``)."""
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.sampling import combined_position_table
+
+    grid = (2, 3, 4)  # 24 grid cells = token_seq length
+    ordering = Ordering("raster_scan", 3, grid)
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=25, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DH, local_attn_heads=LH, local_window_size=WIN,
+        nb_features=M, dtype=jnp.bfloat16, use_rezero=True,
+        spatial_position_emb="absolute", spatial_shape=grid,
+        ordering=ordering,
+    )
+    x0 = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)}, x0
+    )
+    # nontrivial ReZero gains so the blocks are not identity
+    p = dict(variables["params"])
+    for i in range(DEPTH):
+        blk = dict(p[f"block_{i}"])
+        blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+        blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+        p[f"block_{i}"] = blk
+    variables = {"params": p, "favor": variables["favor"]}
+    assert supports_fused_decode(model)
+
+    cfg = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=False, state_dtype=jnp.float32, use_rezero=True,
+    )
+    params = pack_fused_params(model, variables)
+    pos_table = combined_position_table(model, variables, 25)
+    # position 0 is the BOS zero spatial row: table row 0 == plain pos
+    # (up to the model-dtype bf16 rounding of the embedding lookup)
+    plain0 = np.asarray(variables["params"]["abs_pos_emb"]["embedding"][0])
+    np.testing.assert_allclose(
+        np.asarray(pos_table[0]), plain0, rtol=1e-2, atol=1e-3
+    )
+    # later rows differ (spatial rows are nonzero)
+    assert not np.allclose(
+        np.asarray(pos_table[5]),
+        np.asarray(variables["params"]["abs_pos_emb"]["embedding"][5]),
+    )
+
+    emb_tbl = jnp.asarray(variables["params"]["token_emb"]["embedding"])
+    state = init_fused_state(cfg)
+    logits = []
+    for t in range(token_seq.shape[1]):
+        emb = emb_tbl[token_seq[:, t]].astype(jnp.float32)
+        h = emb + pos_table[t][None]
+        h, state, k_all, v_all = fused_decode_step_ref(
+            params, state, h, jnp.asarray(t), cfg, use_quantized=False
+        )
+        state = update_rings(state, k_all, v_all, t, cfg)
+        logits.append(_head(model, variables, h))
+    lg_f = jnp.stack(logits, axis=1)
+    lg_g = _run_general(model, variables, token_seq)
+    np.testing.assert_allclose(
+        np.asarray(lg_f), np.asarray(lg_g), rtol=0.08, atol=0.08
+    )
+    agree = (
+        np.argmax(np.asarray(lg_f), -1) == np.argmax(np.asarray(lg_g), -1)
+    ).mean()
+    assert agree >= 0.95, f"greedy agreement {agree}"
 
 
 def test_make_sampler_fused_auto_selects_rezero():
