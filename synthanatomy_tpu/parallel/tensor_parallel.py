@@ -131,14 +131,14 @@ def tp_step_compatible(model, n_shards: int):
     lh = model.local_attn_heads
     if gh % n_shards or (lh and lh % n_shards):
         return False, f"heads ({gh} global / {lh} local) not divisible by {n_shards}"
-    if model.use_rezero or model.use_scalenorm:
-        return False, "ReZero/ScaleNorm blocks"
+    if model.use_scalenorm:
+        return False, "ScaleNorm blocks"
     if model.rotary_position_emb or model.fixed_position_emb or model.axial_position_emb:
         return False, "non-learned positional embedding"
-    if model.spatial_position_emb:
-        return False, "spatial positional embeddings"
-    if model.conditioning_num_tokens:
-        return False, "conditioning"
+    if model.spatial_position_emb not in (None, "absolute"):
+        return False, "'fixed' spatial positional embeddings"
+    if model.conditioning_num_tokens and model.conditioning_type != "bos_replacement":
+        return False, "'prepending' conditioning"
     if model.attn_out_bias:
         return False, "attn_out_bias"
     if model.emb_dropout or model.ff_dropout or model.attn_dropout:
@@ -257,18 +257,21 @@ def make_tp_train_step(
     the per-device attention through the Pallas kernels (TPU only);
     ``use_pallas_local``/``use_pallas_favor`` override per kernel
     family (the CLI's two flags are independent).
-    Restrictions: pre-LayerNorm blocks, no ReZero/ScaleNorm, no
-    dropout RNG (deterministic), no conditioning, no per-layer rotary.
+    Supported block/embedding forms: pre-LayerNorm or ReZero blocks
+    (the paper config, reference README.md:140), learned 'absolute'
+    spatial coordinate tables, 'bos_replacement' conditioning — all
+    replicated math outside the sharded attention/FF pairs.
+    Restrictions: no ScaleNorm, no dropout RNG (deterministic), no
+    'prepending' conditioning, no per-layer rotary/fixed/axial.
     """
     from synthanatomy_tpu.models.performer import PerformerAttention
 
     n_sh = mesh.shape[axis]
     gh = model.heads - model.local_attn_heads
     lh = model.local_attn_heads
-    if model.use_rezero or model.use_scalenorm:
-        raise NotImplementedError("TP step supports pre-LayerNorm blocks")
-    if model.rotary_position_emb or model.conditioning_num_tokens:
-        raise NotImplementedError("TP step: rotary/conditioning unsupported")
+    ok, why = tp_step_compatible(model, n_sh)
+    if not ok:
+        raise NotImplementedError(f"TP step: {why}")
     attn_local = PerformerAttention(
         dim=model.dim,
         heads=model.heads // n_sh,
@@ -291,10 +294,22 @@ def make_tp_train_step(
         attn_compute_dtype=model.attn_compute_dtype,
         dtype=model.dtype,
     )
-    if model.attn_out_bias:
-        raise NotImplementedError("TP step: attn_out_bias unsupported")
     depth = model.depth
     eps = 1e-6
+    rezero = model.use_rezero
+    n_cond = len(model.conditioning_num_tokens or ())
+    # 'absolute' spatial tables: static per-position lookup indices,
+    # mirroring Performer._spatial_pos_sum (embeds seq[:-1]; position 0
+    # is the BOS zero row) — same scheme as the SP step
+    sp_seqs = None
+    if model.spatial_position_emb == "absolute":
+        from synthanatomy_tpu.models.performer import (
+            spatial_coordinate_sequences,
+        )
+
+        sp_seqs = spatial_coordinate_sequences(
+            model.spatial_shape, model.ordering
+        )
 
     def _ln(x, p):
         x32 = x.astype(jnp.float32)
@@ -306,12 +321,36 @@ def make_tp_train_step(
 
     f_op, g_op = _make_f_g(axis)
 
-    def inner(params, favor, inputs, targets, sched):
+    def inner(params, favor, inputs, targets, sched, conds):
         def loss_fn(p):
             emb = jnp.asarray(p["token_emb"]["embedding"], model.dtype)
             h = emb[inputs]
+            n = h.shape[1]
+            if sp_seqs is not None:
+                # Σ per-axis coordinate embeddings, BOS-right-shifted
+                m_rows = min(n - 1, len(sp_seqs[0]) - 1)
+                for i, s in enumerate(sp_seqs):
+                    tbl = jnp.asarray(
+                        p[f"spatial_emb_{i}"]["embedding"], model.dtype
+                    )
+                    rows = tbl[jnp.asarray(s[:m_rows])]
+                    rows = jnp.pad(rows, ((1, n - 1 - m_rows), (0, 0)))
+                    h = h + rows[None].astype(h.dtype)
+            if n_cond:
+                # bos_replacement: the conditioning-embedding sum
+                # overwrites position 0 (its spatial row is the zero
+                # row), before the sequence positional addition —
+                # reference performer.py:252-261
+                c0 = jnp.zeros((h.shape[0], 1, model.dim), h.dtype)
+                for idx in range(n_cond):
+                    ct = jnp.asarray(
+                        p[f"conditioning_emb_{idx}"]["embedding"],
+                        model.dtype,
+                    )
+                    c0 = c0 + ct[conds[idx]].reshape(h.shape[0], 1, model.dim)
+                h = jnp.concatenate([c0, h[:, 1:]], axis=1)
             table = p["abs_pos_emb"]["embedding"]
-            h = h + jnp.asarray(table, model.dtype)[None, : h.shape[1]]
+            h = h + jnp.asarray(table, model.dtype)[None, :n]
             for i in range(depth):
                 blk = p[f"block_{i}"]
                 a = attn_local.apply(
@@ -319,10 +358,22 @@ def make_tp_train_step(
                         "params": blk["attn"],
                         "favor": favor[f"block_{i}"]["attn"],
                     },
-                    g_op(_ln(h, blk["norm_attn"])),
+                    g_op(
+                        h.astype(model.dtype)
+                        if rezero
+                        else _ln(h, blk["norm_attn"])
+                    ),
                 )
-                h = h + f_op(a)
-                f = g_op(_ln(h, blk["norm_ff"]))
+                # ReZero: the scalar gain distributes over the psum
+                # (g·Σaₚ = Σ g·aₚ), so applying it after f_op is the
+                # block's a·g_attn exactly; its gradient is an ordinary
+                # replicated gradient like w2's bias
+                h = h + (f_op(a) * blk["g_attn"] if rezero else f_op(a))
+                f = g_op(
+                    h.astype(model.dtype)
+                    if rezero
+                    else _ln(h, blk["norm_ff"])
+                )
                 w1 = blk["ff"]["w1"]
                 w2 = blk["ff"]["w2"]
                 hid = jax.nn.gelu(
@@ -338,7 +389,10 @@ def make_tp_train_step(
                     preferred_element_type=jnp.float32,
                 )
                 # w2 bias is replicated: add it ONCE, after the psum
-                h = h + (f_op(down) + w2["bias"]).astype(h.dtype)
+                ffout = (f_op(down) + w2["bias"]).astype(
+                    model.dtype if rezero else h.dtype
+                )
+                h = h + (ffout * blk["g_ff"] if rezero else ffout)
             hn = _ln(h, p["final_norm"]).astype(jnp.float32)
             if model.tie_embed:
                 logits = hn @ jnp.asarray(
@@ -358,19 +412,28 @@ def make_tp_train_step(
 
     pspecs = None  # resolved lazily from the state's tree
 
-    def step(state, inputs, targets, sched):
+    def step(state, inputs, targets, sched, conds=None):
         nonlocal pspecs
         if pspecs is None:
             pspecs = tp_param_specs(state.params)
+        if n_cond and conds is None:
+            raise ValueError(
+                "model was built with conditioning_num_tokens; the TP "
+                "step needs the conditioning values"
+            )
+        conds = tuple(conds) if n_cond else ()
         sharded = jax.shard_map(
             inner,
             mesh=mesh,
-            in_specs=(pspecs, P(), P(), P(), P()),
+            in_specs=(
+                pspecs, P(), P(), P(), P(),
+                tuple(P() for _ in conds),
+            ),
             out_specs=(pspecs, P()),
             check_vma=False,
         )
         grads, loss = sharded(
-            state.params, state.favor, inputs, targets, sched
+            state.params, state.favor, inputs, targets, sched, conds
         )
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
             sched["lr"], jnp.float32

@@ -372,7 +372,7 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
             use_pallas_favor=config.use_pallas_favor_attn,
         )
         step_fn = jax.jit(
-            lambda s, i, t, c, sched: tp_step(s, i, t, sched),
+            lambda s, i, t, c, sched: tp_step(s, i, t, sched, c),
             donate_argnums=donate,
         )
         logger.info(

@@ -968,6 +968,94 @@ def test_tensor_parallel_train_step_matches_single_device():
         )
 
 
+def test_tensor_parallel_paper_config_features():
+    """The PAPER transformer config under the manual Megatron TP step:
+    ReZero blocks + learned 'absolute' spatial coordinate tables +
+    'bos_replacement' conditioning (reference README.md:140-141,
+    performer.py:252-261) — loss and unpacked-param parity (SGD) vs the
+    single-device step.  Gains are set nontrivial so gradients reach
+    the sharded attention/FF weights."""
+    from jax.sharding import Mesh, NamedSharding
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.parallel.tensor_parallel import (
+        make_tp_train_step,
+        pack_tp_params,
+        tp_param_specs,
+        unpack_tp_params,
+    )
+
+    shape = (2, 3, 4)
+    seq = int(np.prod(shape))
+    ordering = Ordering("raster_scan", 3, shape)
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=32, depth=2, heads=4,
+        dim_head=8, local_attn_heads=2, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        use_rezero=True, spatial_position_emb="absolute",
+        spatial_shape=shape, ordering=ordering,
+        conditioning_num_tokens=(5,), conditioning_type="bos_replacement",
+    )
+    conds = [jnp.asarray([1, 3], jnp.int32)]
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3,
+        conditionings=[jnp.zeros((1,), jnp.int32)],
+    )
+    p = dict(state.params)
+    for i in range(2):
+        blk = dict(p[f"block_{i}"])
+        blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+        blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+        p[f"block_{i}"] = blk
+    state = state.replace(params=p)
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(17)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+
+    ref_step = make_transformer_train_step(model, tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, conds, {"lr": 1e-3}
+    )
+
+    n_sh = 2
+    mesh = Mesh(np.asarray(jax.devices()[:n_sh]).reshape(n_sh), ("model",))
+    packed = pack_tp_params(model, state.params, n_sh)
+    specs = tp_param_specs(packed)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    packed = jax.device_put(packed, shardings)
+    tp_state = state.replace(
+        params=packed,
+        opt_state=jax.tree.map(lambda x: x, tx.init(packed)),
+    )
+    tp_step = make_tp_train_step(model, tx, mesh)
+    tp_state2, tp_metrics = jax.jit(tp_step)(
+        tp_state, inputs, targets, {"lr": 1e-3}, conds
+    )
+
+    np.testing.assert_allclose(
+        float(tp_metrics["Loss"]), float(ref_metrics["Loss"]), rtol=1e-5
+    )
+    unpacked = unpack_tp_params(
+        model, jax.device_get(tp_state2.params), n_sh
+    )
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    got_leaves = jax.tree_util.tree_leaves_with_path(unpacked)
+    for (pa, a), (pb, b) in zip(got_leaves, ref_leaves):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+    # a conditioned model without conds is a loud error
+    with pytest.raises(ValueError, match="conditioning"):
+        jax.jit(tp_step)(tp_state, inputs, targets, {"lr": 1e-3})
+
+
 def test_tp_pack_unpack_roundtrip():
     from synthanatomy_tpu.parallel.tensor_parallel import (
         pack_tp_params,

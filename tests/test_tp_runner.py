@@ -179,3 +179,60 @@ def test_cli_zero1_with_pallas_flags_avoids_dp_shard_map(
     )
     assert "dp_step" not in called
     assert np.isfinite(res["history"][-1]["Loss"])
+
+
+def test_cli_tp_paper_form_with_conditioning(tmp_path, latents_dir):
+    """The PAPER block/embedding form (ReZero + learned 'absolute'
+    spatial tables + bos_replacement conditioning) through the manual
+    Megatron TP path — previously tp_step_compatible rejected all three
+    features and the runner silently fell back to GSPMD.  Verify the
+    manual step is actually selected AND matches single-device."""
+    import jax
+    import pandas as pd
+    import pytest as _pytest
+
+    from synthanatomy_tpu.parallel import tensor_parallel as TP
+
+    cond_csv = str(tmp_path / "cond.csv")
+    pd.DataFrame(
+        {
+            "subject": [f"s{i}_quantization_0.npy" for i in range(4)],
+            "age": [60.0, 70.0, 60.0, 70.0],
+        }
+    ).to_csv(cond_csv, index=False)
+    flags = dict(
+        use_rezero=True,
+        spatial_position_emb="absolute",
+        conditioning_path=cond_csv,
+        conditionings=("age",),
+        conditioning_type="bos_replacement",
+    )
+
+    base = _run(
+        str(tmp_path), latents_dir, "paper_single",
+        mesh_shape=(1, 1),
+        use_pallas_local_attn=False, use_pallas_favor_attn=False,
+        **flags,
+    )
+
+    model_compat = TP.tp_step_compatible  # spy: manual path must engage
+    seen = {}
+
+    def spy(model, n):
+        out = model_compat(model, n)
+        seen["ok"], seen["why"] = out
+        return out
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(TP, "tp_step_compatible", spy)
+        manual = _run(
+            str(tmp_path), latents_dir, "paper_manual12",
+            mesh_shape=(1, 2),
+            use_pallas_local_attn=True, use_pallas_favor_attn=True,
+            **flags,
+        )
+    assert seen.get("ok"), f"manual TP step rejected: {seen.get('why')}"
+    np.testing.assert_allclose(
+        manual["history"][-1]["Loss"], base["history"][-1]["Loss"], rtol=1e-5
+    )
+    _assert_params_close(base["state"].params, manual["state"].params)
