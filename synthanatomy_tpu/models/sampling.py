@@ -416,13 +416,15 @@ def make_dp_sampler(
     top_k: Optional[int] = None,
     do_sample: bool = True,
     bos_token: Optional[int] = None,
+    with_conditionings: bool = False,
     fused="auto",
     ring_quant: bool = False,
 ):
-    """Data-parallel serving sampler: ``sampler(variables, rng)`` runs
-    one independent fused-decode sampling loop PER DEVICE of
-    ``mesh[axis]`` under ``shard_map`` (params replicated in, grids
-    gathered on the batch axis out).
+    """Data-parallel serving sampler: ``sampler(variables, rng[,
+    conditionings])`` runs one independent fused-decode sampling loop
+    PER DEVICE of ``mesh[axis]`` under ``shard_map`` (params replicated
+    in, conditioning values and output grids sharded on the batch
+    axis).
 
     This is how the Pallas decode kernel scales to multi-chip serving:
     GSPMD cannot partition an opaque ``pallas_call``, but under
@@ -440,22 +442,34 @@ def make_dp_sampler(
         )
     local_batch = global_batch // n_dev
 
-    def local_sample(variables, rng):
+    def local_sample(variables, rng, conds):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         inner = make_sampler(
             model, ordering, batch=local_batch, temperature=temperature,
             top_k=top_k, do_sample=do_sample, bos_token=bos_token,
+            with_conditionings=with_conditionings,
             fused=fused, ring_quant=ring_quant,
         )
+        if with_conditionings:
+            return inner(variables, rng, list(conds))
         return inner(variables, rng)
 
-    sampler = jax.jit(
-        jax.shard_map(
+    def sampler_fn(variables, rng, conditionings=None):
+        if with_conditionings and conditionings is None:
+            raise ValueError(
+                "DP sampler built with with_conditionings=True needs "
+                "conditioning values"
+            )
+        # each (global_batch,) conditioning vector shards on the batch
+        # axis alongside the output grids
+        conds = tuple(conditionings) if with_conditionings else ()
+        sharded = jax.shard_map(
             local_sample,
             mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(P(), P(), tuple(P(axis) for _ in conds)),
             out_specs=P(axis),
             check_vma=False,
         )
-    )
-    return sampler
+        return sharded(variables, rng, conds)
+
+    return jax.jit(sampler_fn, static_argnames=())

@@ -699,11 +699,7 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
     variables = {"params": state.params, "favor": state.favor}
 
     n_dev = jax.device_count()
-    use_dp_sampler = (
-        n_dev > 1
-        and config.conditioning_num_tokens is None
-        and config.eval_batch_size % n_dev == 0
-    )
+    use_dp_sampler = n_dev > 1 and config.eval_batch_size % n_dev == 0
     # stage the restored (host-resident, committed) checkpoint onto the
     # accelerator(s): jit compiles for the committed device of its
     # inputs, so without this the whole sampler would lower for CPU
@@ -731,6 +727,7 @@ def inference(config: TransformerConfig) -> Dict[str, Any]:
             temperature=config.temperature,
             top_k=config.top_k,
             do_sample=config.sample,
+            with_conditionings=config.conditioning_num_tokens is not None,
             ring_quant=config.use_int8_rings,
         )
         logger.info(f"DP sampler over {n_dev} devices")

@@ -307,6 +307,57 @@ def test_make_dp_sampler_matches_per_device_runs(setup):
         np.testing.assert_array_equal(grids[i * B : (i + 1) * B], solo)
 
 
+def test_make_dp_sampler_with_conditioning():
+    """Conditioned multi-chip serving (the released paper priors are
+    all conditioned): conditioning values shard on the batch axis and
+    each device's grid equals an independent single-device run with
+    its batch-shard's values."""
+    from jax.sharding import Mesh
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.sampling import make_dp_sampler, make_sampler
+
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=13, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DH, local_attn_heads=LH, local_window_size=WIN,
+        nb_features=M, dtype=jnp.bfloat16,
+        conditioning_num_tokens=(3,), conditioning_type="bos_replacement",
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, 8), jnp.int32),
+        [jnp.zeros((1,), jnp.int32)],
+    )
+    ordering = Ordering("raster_scan", 3, (2, 3, 2))
+    n_dev = 2
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev), ("data",))
+    sampler = make_dp_sampler(
+        model, ordering, mesh, global_batch=n_dev * B, fused=True,
+        do_sample=True, with_conditionings=True,
+    )
+    rng = jax.random.key(11)
+    conds = [jnp.asarray([0, 1, 2, 1][: n_dev * B], jnp.int32)]
+    grids = np.asarray(sampler(variables, rng, conds))
+    assert grids.shape == (n_dev * B, 2, 3, 2)
+
+    solo_fn = make_sampler(
+        model, ordering, batch=B, do_sample=True,
+        with_conditionings=True, fused=True,
+    )
+    for i in range(n_dev):
+        solo = np.asarray(
+            solo_fn(
+                variables, jax.random.fold_in(rng, i),
+                [c[i * B : (i + 1) * B] for c in conds],
+            )
+        )
+        np.testing.assert_array_equal(grids[i * B : (i + 1) * B], solo)
+
+    # missing values is a loud error
+    with pytest.raises(ValueError, match="conditioning"):
+        sampler(variables, rng)
+
+
 def test_fused_sampler_bos_replacement_conditioning():
     """Fused sampling with 'bos_replacement' conditioning: the
     conditioning sum replaces the BOS embedding at t=0, so different

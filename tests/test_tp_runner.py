@@ -236,3 +236,84 @@ def test_cli_tp_paper_form_with_conditioning(tmp_path, latents_dir):
         manual["history"][-1]["Loss"], base["history"][-1]["Loss"], rtol=1e-5
     )
     _assert_params_close(base["state"].params, manual["state"].params)
+
+
+def test_cli_inference_dp_sampler_with_conditioning(tmp_path, latents_dir):
+    """Conditioned DP serving through the REAL inference runner: with
+    eval_batch_size divisible by the device count, a conditioned prior
+    must take the multi-chip DP sampler (previously it silently fell
+    back to single-device serving) and write one sample per subject."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from synthanatomy_tpu.config import TransformerConfig
+    from synthanatomy_tpu.runners.transformer import (
+        build_ordering,
+        build_performer,
+    )
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+    )
+
+    cond_csv = str(tmp_path / "cond.csv")
+    pd.DataFrame(
+        {
+            "subject": [f"s{i}_quantization_0.npy" for i in range(4)],
+            "age": [60.0, 70.0, 60.0, 70.0],
+        }
+    ).to_csv(cond_csv, index=False)
+
+    net = dict(
+        vocab_size=16, n_embd=32, n_layers=2, n_head=4, dim_head=8,
+        nb_features=8, local_attn_heads=2, local_window_size=8,
+        ordering_type="raster_scan", compute_dtype="float32",
+        conditioning_path=cond_csv, conditionings=("age",),
+        conditioning_type="bos_replacement",
+    )
+    t_cfg = TransformerConfig(
+        mode="inference", training_subjects=latents_dir,
+        project_directory=str(tmp_path), experiment_name="dpserve",
+        conditioning_num_tokens=(2,),
+        **{k: v for k, v in net.items()
+           if k in TransformerConfig.__dataclass_fields__
+           and k not in ("conditioning_path", "conditionings",
+                         "conditioning_type")},
+        **{k: net[k] for k in ("conditioning_path", "conditionings",
+                               "conditioning_type")},
+    )
+    ordering = build_ordering(t_cfg, (4, 4, 4))
+    performer = build_performer(t_cfg, ordering, (4, 4, 4))
+    state, _ = create_transformer_train_state(
+        performer, jax.random.key(0), 64,
+        conditionings=[jnp.zeros((1,), jnp.int32)],
+    )
+    ckdir = os.path.join(str(tmp_path), "dpserve", "performer", "checkpoints")
+    os.makedirs(ckdir)
+    C.save_checkpoint(ckdir, state, 1)
+
+    spy = {}
+    from synthanatomy_tpu.models import sampling as S
+
+    orig = S.make_dp_sampler
+
+    def wrapped(*a, **k):
+        spy["dp"] = True
+        return orig(*a, **k)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(S, "make_dp_sampler", wrapped)
+        res = _run(
+            str(tmp_path), latents_dir, "dpserve",
+            mode="inference",
+            eval_batch_size=8,  # divisible by the 8-device CPU mesh
+            **net,
+        )
+    assert spy.get("dp"), "conditioned prior did not take the DP sampler"
+    assert len(res["written"]) == 4
+    samp = np.load(res["written"][0])
+    assert samp.dtype == np.uint16 and samp.shape == (4, 4, 4)
+    assert samp.max() < 16
