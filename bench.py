@@ -81,16 +81,19 @@ def main() -> None:
         model, ordering, batch=BATCH, temperature=1.0, fused="auto",
         ring_quant=True,  # int8 local-head rings: +17%, quality-tested
     )
+    path_note = ""
     try:
         np.asarray(sampler(variables, jax.random.key(2)))  # compile
     except Exception as e:  # pragma: no cover - defensive headline guard
         # the fused Pallas step is the fast path; if it fails to compile
         # on this backend, still report an honest (slower) headline from
-        # the exact XLA decode path rather than no number at all
+        # the exact XLA decode path — marked in the unit string so a
+        # kernel regression can never masquerade as a real trend point
         import sys
 
         print(f"fused sampler failed ({type(e).__name__}: {e}); "
               "falling back to the exact path", file=sys.stderr)
+        path_note = " [EXACT-PATH FALLBACK: fused kernel failed to compile]"
         sampler = make_sampler(
             model, ordering, batch=BATCH, temperature=1.0, fused=False,
         )
@@ -132,7 +135,8 @@ def main() -> None:
             {
                 "metric": "ar_sampling_tokens_per_sec_paper24L",
                 "value": round(fast_tps, 1),
-                "unit": "latent tokens/s/chip (batch 16, 24L/d512/16h Performer, 1400-token grid)",
+                "unit": "latent tokens/s/chip (batch 16, 24L/d512/16h "
+                        "Performer, 1400-token grid)" + path_note,
                 "vs_baseline": round(fast_tps / naive_tps, 2),
             }
         )

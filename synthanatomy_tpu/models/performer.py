@@ -86,6 +86,30 @@ def spatial_coordinate_sequences(
     return [np.asarray(ordering(c.reshape(-1))) for c in coords]
 
 
+def spatial_lookup_layout(
+    seqs: Sequence[np.ndarray], n: int, k_pre: int = 0, total: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static lookup layout for the BOS-right-shifted 'absolute'
+    spatial tables, shared by the SP and TP train steps so the shift
+    math can never drift from ``Performer._spatial_pos_sum`` (which
+    embeds ``seq[:-1]``: position k_pre is the BOS zero row, position
+    k_pre+q ≥ k_pre+1 gets grid cell q-1's coords; at most L_grid-1
+    rows carry an embedding).
+
+    Returns ``(idx (total, n_axes) int32, mask (total, 1) float32)``
+    over ``total`` physical positions (default ``n``): the embedding
+    sum at position p is ``Σᵢ tableᵢ[idx[p, i]] * mask[p]``.
+    """
+    total = n if total is None else total
+    idx = np.zeros((total, len(seqs)), np.int32)
+    mask = np.zeros((total, 1), np.float32)
+    m_rows = min(n - 1, len(seqs[0]) - 1, total - k_pre - 1)
+    for i, s in enumerate(seqs):
+        idx[k_pre + 1 : k_pre + 1 + m_rows, i] = s[:m_rows]
+    mask[k_pre + 1 : k_pre + 1 + m_rows] = 1.0
+    return idx, mask
+
+
 def _sinusoidal_table(length: int, dim: int) -> np.ndarray:
     inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
     pos = np.arange(length, dtype=np.float64)

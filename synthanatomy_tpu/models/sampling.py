@@ -460,6 +460,12 @@ def make_dp_sampler(
                 "DP sampler built with with_conditionings=True needs "
                 "conditioning values"
             )
+        if not with_conditionings and conditionings is not None:
+            raise ValueError(
+                "conditioning values passed to a DP sampler built with "
+                "with_conditionings=False — they would be silently "
+                "ignored; rebuild with with_conditionings=True"
+            )
         # each (global_batch,) conditioning vector shards on the batch
         # axis alongside the output grids
         conds = tuple(conditionings) if with_conditionings else ()
@@ -472,4 +478,4 @@ def make_dp_sampler(
         )
         return sharded(variables, rng, conds)
 
-    return jax.jit(sampler_fn, static_argnames=())
+    return jax.jit(sampler_fn)

@@ -26,6 +26,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "put_replicated",
+    "put_sharded",
     "shard_batch",
     "host_shard_info",
 ]
@@ -140,6 +141,30 @@ def put_replicated(mesh: Mesh, tree):
         return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree.map(_put, tree)
+
+
+def put_sharded(mesh: Mesh, tree, specs):
+    """Place a host pytree with per-leaf ``PartitionSpec``s — the
+    sharded-parameter analogue of :func:`put_replicated`.
+
+    Single-process: plain device_put.  Multi-process: global arrays are
+    assembled shard-by-shard from each host's (identical) full copy via
+    ``jax.make_array_from_callback`` — device_put cannot target
+    non-addressable shardings.  ``specs`` must mirror ``tree``'s
+    structure with a ``PartitionSpec`` per array leaf (e.g.
+    ``tensor_parallel.tp_param_specs``)."""
+    multi = jax.process_count() > 1
+
+    def _put(x, spec):
+        sh = NamedSharding(mesh, spec)
+        if not multi:
+            return jax.device_put(x, sh)
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(
+            xnp.shape, sh, lambda idx: xnp[idx]
+        )
+
+    return jax.tree.map(_put, tree, specs)
 
 
 def host_shard_info() -> Tuple[int, int]:

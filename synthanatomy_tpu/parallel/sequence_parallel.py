@@ -154,23 +154,16 @@ def make_sp_train_step(
     n_sp_axes = 0
     sp_idx_g = sp_mask_g = None
     if abs_spatial:
-        import numpy as _np
-
         from synthanatomy_tpu.models.performer import (
             spatial_coordinate_sequences,
+            spatial_lookup_layout,
         )
 
         seqs = spatial_coordinate_sequences(model.spatial_shape, model.ordering)
         n_sp_axes = len(seqs)
-        sp_idx = _np.zeros((l_pad, n_sp_axes), _np.int32)
-        sp_mask = _np.zeros((l_pad, 1), _np.float32)
-        # the model embeds seq[:-1] (the last grid cell is never an
-        # input token — _spatial_pos_sum), so at most L_grid-1 rows
-        # carry an embedding; positions past that get the zero row
-        m_rows = min(seq_len - 1, len(seqs[0]) - 1, l_pad - k_pre - 1)
-        for i, s in enumerate(seqs):
-            sp_idx[k_pre + 1 : k_pre + 1 + m_rows, i] = s[:m_rows]
-        sp_mask[k_pre + 1 : k_pre + 1 + m_rows] = 1.0
+        sp_idx, sp_mask = spatial_lookup_layout(
+            seqs, seq_len, k_pre=k_pre, total=l_pad
+        )
         sp_idx_g = jnp.asarray(sp_idx)
         sp_mask_g = jnp.asarray(sp_mask)
 

@@ -267,7 +267,6 @@ def make_tp_train_step(
     from synthanatomy_tpu.models.performer import PerformerAttention
 
     n_sh = mesh.shape[axis]
-    gh = model.heads - model.local_attn_heads
     lh = model.local_attn_heads
     ok, why = tp_step_compatible(model, n_sh)
     if not ok:
@@ -305,6 +304,7 @@ def make_tp_train_step(
     if model.spatial_position_emb == "absolute":
         from synthanatomy_tpu.models.performer import (
             spatial_coordinate_sequences,
+            spatial_lookup_layout,
         )
 
         sp_seqs = spatial_coordinate_sequences(
@@ -328,13 +328,15 @@ def make_tp_train_step(
             n = h.shape[1]
             if sp_seqs is not None:
                 # Σ per-axis coordinate embeddings, BOS-right-shifted
-                m_rows = min(n - 1, len(sp_seqs[0]) - 1)
-                for i, s in enumerate(sp_seqs):
+                # (shared layout helper — same shift math as the model
+                # and the SP step)
+                sp_idx, sp_mask = spatial_lookup_layout(sp_seqs, n)
+                m = jnp.asarray(sp_mask)
+                for i in range(len(sp_seqs)):
                     tbl = jnp.asarray(
                         p[f"spatial_emb_{i}"]["embedding"], model.dtype
                     )
-                    rows = tbl[jnp.asarray(s[:m_rows])]
-                    rows = jnp.pad(rows, ((1, n - 1 - m_rows), (0, 0)))
+                    rows = tbl[jnp.asarray(sp_idx[:, i])] * m
                     h = h + rows[None].astype(h.dtype)
             if n_cond:
                 # bos_replacement: the conditioning-embedding sum

@@ -413,3 +413,170 @@ def test_two_process_pp_step(tmp_path):
     assert results[0]["loss"] == pytest.approx(
         float(ref_metrics["Loss"]), rel=1e-5
     )
+
+
+WORKER_TP = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+from synthanatomy_tpu.parallel.distributed import maybe_initialize_distributed
+assert maybe_initialize_distributed(), "expected a 2-process job"
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from synthanatomy_tpu.models.ordering import Ordering
+from synthanatomy_tpu.models.performer import Performer
+from synthanatomy_tpu.parallel.mesh import make_mesh, put_replicated, put_sharded
+from synthanatomy_tpu.parallel.tensor_parallel import (
+    make_tp_train_step, pack_tp_params, tp_param_specs,
+)
+from synthanatomy_tpu.train.transformer_steps import (
+    create_transformer_train_state,
+)
+
+# PAPER block/embedding form, Megatron-sharded over BOTH processes:
+# the f/g conjugate psums cross the host boundary
+shape = (2, 3, 4)
+seq = int(np.prod(shape))
+ordering = Ordering("raster_scan", 3, shape)
+model = Performer(
+    num_tokens=17, max_seq_len=seq + 1, dim=64, depth=2, heads=16,
+    dim_head=4, local_attn_heads=8, local_window_size=8,
+    nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    use_rezero=True, spatial_position_emb="absolute",
+    spatial_shape=shape, ordering=ordering,
+    conditioning_num_tokens=(5,), conditioning_type="bos_replacement",
+)
+state, _ = create_transformer_train_state(
+    model, jax.random.key(0), seq, learning_rate=1e-3,
+    conditionings=[jnp.zeros((1,), jnp.int32)],
+)
+p = dict(state.params)
+for i in range(2):
+    blk = dict(p[f"block_{i}"])
+    blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+    blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+    p[f"block_{i}"] = blk
+state = state.replace(params=p)
+tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+
+n_sh = 8
+mesh = make_mesh((n_sh,), ("model",))
+packed = pack_tp_params(model, state.params, n_sh)
+packed = put_sharded(mesh, packed, tp_param_specs(packed))
+state = state.replace(
+    params=packed,
+    opt_state=jax.jit(tx.init)(packed),
+    favor=put_replicated(mesh, state.favor),
+    step=put_replicated(mesh, state.step),
+    rng=put_replicated(mesh, state.rng),
+)
+tp_step = make_tp_train_step(model, tx, mesh)
+
+rng = np.random.default_rng(23)
+inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+conds = [jnp.asarray([1, 3], jnp.int32)]
+with jax.set_mesh(mesh):
+    _, metrics = jax.jit(tp_step)(state, inputs, targets, {"lr": 1e-3}, conds)
+loss = float(jax.device_get(metrics["Loss"]))
+
+out = {"process": jax.process_index(), "loss": loss}
+with open(
+    os.path.join(os.environ["WORKDIR"], f"tp_out_{jax.process_index()}.json"),
+    "w",
+) as f:
+    json.dump(out, f)
+print("WORKER_TP_OK", jax.process_index())
+"""
+
+
+def test_two_process_tp_step(tmp_path):
+    """Manual Megatron TP training across a REAL process boundary
+    (8 model shards over 2 hosts × 4 devices) with the full PAPER
+    feature set — ReZero, learned spatial tables, bos_replacement
+    conditioning.  Both processes must agree and match the
+    single-device step."""
+    port = _free_port()
+    script = tmp_path / "worker_tp.py"
+    script.write_text(WORKER_TP)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            REPO=REPO,
+            WORKDIR=str(tmp_path),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_TP_OK {pid}" in out
+
+    results = [
+        json.load(open(tmp_path / f"tp_out_{i}.json")) for i in range(2)
+    ]
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # single-device reference on the same batch + conditioning
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.performer import Performer
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+        make_transformer_train_step,
+    )
+
+    shape = (2, 3, 4)
+    seq = int(np.prod(shape))
+    ordering = Ordering("raster_scan", 3, shape)
+    model = Performer(
+        num_tokens=17, max_seq_len=seq + 1, dim=64, depth=2, heads=16,
+        dim_head=4, local_attn_heads=8, local_window_size=8,
+        nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        use_rezero=True, spatial_position_emb="absolute",
+        spatial_shape=shape, ordering=ordering,
+        conditioning_num_tokens=(5,), conditioning_type="bos_replacement",
+    )
+    state, _ = create_transformer_train_state(
+        model, jax.random.key(0), seq, learning_rate=1e-3,
+        conditionings=[jnp.zeros((1,), jnp.int32)],
+    )
+    p = dict(state.params)
+    for i in range(2):
+        blk = dict(p[f"block_{i}"])
+        blk["g_attn"] = jnp.asarray([0.7], jnp.float32)
+        blk["g_ff"] = jnp.asarray([0.5], jnp.float32)
+        p[f"block_{i}"] = blk
+    state = state.replace(params=p)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    rng = np.random.default_rng(23)
+    inputs = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (2, seq)), jnp.int32)
+    conds = [jnp.asarray([1, 3], jnp.int32)]
+    ref_step = make_transformer_train_step(model, tx)
+    _, ref_metrics = jax.jit(ref_step)(
+        state, inputs, targets, conds, {"lr": 1e-3}
+    )
+    assert results[0]["loss"] == pytest.approx(
+        float(ref_metrics["Loss"]), rel=1e-5
+    )
