@@ -35,6 +35,12 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--paper-form", action="store_true",
+        help="ReZero blocks + learned 'absolute' spatial tables (the "
+        "bench.py headline block/embedding form, reference "
+        "README.md:140-141)",
+    )
     args = p.parse_args()
 
     import jax
@@ -72,10 +78,16 @@ def main() -> None:
         vols.append(v.reshape(grid))
     latents = np.stack(vols)
 
+    extra = (
+        dict(use_rezero=True, spatial_position_emb="absolute",
+             spatial_shape=grid, ordering=ordering)
+        if args.paper_form
+        else {}
+    )
     model = Performer(
         num_tokens=vocab + 1, max_seq_len=seq + 1, dim=256, depth=6,
         heads=4, dim_head=64, local_attn_heads=2, local_window_size=64,
-        nb_features=128, dtype=jnp.bfloat16, scan_chunk=128,
+        nb_features=128, dtype=jnp.bfloat16, scan_chunk=128, **extra,
     )
     assert supports_fused_decode(model)
     state, tx = create_transformer_train_state(
@@ -177,6 +189,7 @@ def main() -> None:
     )
 
     print(json.dumps({
+        "block_form": "rezero+spatial" if args.paper_form else "preln",
         "trained_ce": round(loss, 4),
         "greedy_agreement_fused_bf16_rings": round(agree_bf, 4),
         "greedy_agreement_fused_int8_rings": round(agree_i8, 4),
