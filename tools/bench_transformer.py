@@ -60,9 +60,18 @@ def main() -> None:
                    choices=["float32", "bfloat16"],
                    help="internal attention matmul dtype (fp32 accumulate)")
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the host CPU backend (the axon sitecustomize "
+        "overrides JAX_PLATFORMS, so the env var alone cannot — and a "
+        "wedged tunnel hangs PJRT init); for config sanity runs only",
+    )
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
