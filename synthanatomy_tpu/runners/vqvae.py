@@ -531,10 +531,47 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
     def _adv_from_logits(logits):
         return criterion(jnp.asarray(logits, jnp.float32), True)
 
+    # ---- multi-device / multi-host inference sharding -----------------
+    # the reference shards inference across ranks too (DistributedSampler
+    # on the extraction loader, src/utils/vqvae.py:442-446); here hosts
+    # split the subject list and each host's batch shards over its local
+    # devices under GSPMD (convs partition on the batch axis)
+    from synthanatomy_tpu.parallel.mesh import host_shard_info
+
+    shard_id, num_shards = host_shard_info()
+    n_local = len(jax.local_devices())
+
+    def _stage(state):
+        """(staged state, batch sharding) for the local device set."""
+        if n_local > 1:
+            from jax.sharding import Mesh as _M
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            lmesh = _M(np.asarray(jax.local_devices()), ("data",))
+            logger.info(f"inference batch sharded over {n_local} devices")
+            return (
+                jax.device_put(state, NamedSharding(lmesh, _P())),
+                NamedSharding(lmesh, _P("data")),
+            )
+        return jax.device_put(state, jax.devices()[0]), None
+
+    # every batch is padded to one static shape (divisible by the local
+    # device count): a single compile, tail batches sliced back
+    padded_n = -(-config.batch_size // n_local) * n_local
+
+    def _pad(x):
+        n_real = x.shape[0]
+        if n_real < padded_n:
+            x = np.concatenate(
+                [x, np.repeat(x[-1:], padded_n - n_real, axis=0)]
+            )
+        return x, n_real
+
     written: List[str] = []
 
     if config.mode == "extracting":
-        loaders = _make_loaders(config, "extracting", 0, 1)
+        loaders = _make_loaders(config, "extracting", shard_id, num_shards)
         first = next(iter(loaders["train"].epoch(0)))
         input_shape = first["MRI"].shape[1:4]
         state, _, _ = create_vqvae_train_state(
@@ -545,9 +582,9 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
             logger.info(f"Loaded checkpoint {ckpt_path}")
 
         # stage the restored (host-committed) checkpoint onto the
-        # accelerator — jit compiles for the committed device of its
+        # accelerator(s) — jit compiles for the committed device of its
         # inputs, so without this extraction would lower for CPU
-        state = jax.device_put(state, jax.devices()[0])
+        state, batch_sharding = _stage(state)
         variables = {"params": state.g_params, "vq": state.vq}
 
         # the forward-pass strategy object (reference inferer contract,
@@ -568,9 +605,15 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
 
         all_traces, all_paths = [], []
         for batch in loaders["train"].epoch(0):
-            idx, recon, adv = extract(variables, state, jnp.asarray(batch["MRI"]))
-            idx = np.asarray(jax.device_get(idx))
-            recon = np.asarray(jax.device_get(recon), np.float32)
+            x, n_real = _pad(np.asarray(batch["MRI"]))
+            x = jnp.asarray(x)
+            if batch_sharding is not None:
+                x = jax.device_put(x, batch_sharding)
+            idx, recon, adv = extract(variables, state, x)
+            idx = np.asarray(jax.device_get(idx))[:n_real]
+            recon = np.asarray(jax.device_get(recon), np.float32)[:n_real]
+            if adv is not None:
+                adv = jnp.asarray(adv)[:n_real]
             written += save_npy_outputs(
                 dirs["outputs_directory"], idx, batch["paths"],
                 postfix="quantization_0", dtype=np.uint16,
@@ -601,6 +644,7 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         loader = PrefetchLoader(
             ds, config.batch_size, shuffle=False, drop_last=False,
             num_workers=config.num_workers, collate_keys=("latents",),
+            shard_id=shard_id, num_shards=num_shards,
         )
         first = next(iter(loader.epoch(0)))
         latent_shape = first["latents"].shape[1:4]
@@ -612,7 +656,7 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
         )
         if ckpt_path:
             state = C.load_checkpoint(ckpt_path, state)
-        state = jax.device_put(state, jax.devices()[0])
+        state, batch_sharding = _stage(state)
         variables = {"params": state.g_params, "vq": state.vq}
 
         # patient-space orientation for decoded samples: latent .npy
@@ -645,14 +689,16 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
             return out["sample"][0], adv
 
         for batch in loader.epoch(0):
-            recon, adv = decode(
-                variables, state, jnp.asarray(batch["latents"], jnp.int32)
-            )
-            recon = np.asarray(jax.device_get(recon), np.float32)
+            lat, n_real = _pad(np.asarray(batch["latents"]))
+            lat = jnp.asarray(lat, jnp.int32)
+            if batch_sharding is not None:
+                lat = jax.device_put(lat, batch_sharding)
+            recon, adv = decode(variables, state, lat)
+            recon = np.asarray(jax.device_get(recon), np.float32)[:n_real]
             if adv is not None:
                 written += save_npy_outputs(
                     dirs["outputs_directory"],
-                    np.asarray(jax.device_get(adv), np.float32),
+                    np.asarray(jax.device_get(adv), np.float32)[:n_real],
                     batch["paths"], postfix="adversarial_loss",
                     dtype=np.float32,
                 )
