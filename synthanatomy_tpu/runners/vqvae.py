@@ -419,7 +419,14 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                     vals = {"MAE": [], "MSE": [], "MS-SSIM": []}
                     last = None
                     for batch in loader.epoch(epoch):
-                        x = shard_batch(mesh, batch["MRI"])
+                        # eval loaders keep tail batches (drop_last=False);
+                        # a tail not divisible by the mesh cannot shard —
+                        # run it replicated (exact metrics, one extra
+                        # compile) instead of crashing
+                        if batch["MRI"].shape[0] % n_mesh_dev == 0:
+                            x = shard_batch(mesh, batch["MRI"])
+                        else:
+                            x = jnp.asarray(batch["MRI"])
                         recon, _ = eval_step(state, x, sched, lpips_params)
                         m_mae, m_mse, m_ssim = eval_metrics_fn(
                             recon.astype(jnp.float32), x

@@ -95,3 +95,31 @@ def test_finetune_gate_release_is_sticky():
     for v in (0.5, 0.5, 0.9, 0.5, 0.5):
         c2, r2 = gate(c2, r2, jnp.float32(v))
     assert not bool(r2)
+
+
+def test_cli_vqvae_eval_with_uneven_tail_batch(tmp_path, data_dir):
+    """Regression: a validation set whose tail batch is not divisible
+    by the mesh (3 subjects, eval_batch_size=2, 2-device mesh) crashed
+    shard_batch with a device_put divisibility error; the uneven tail
+    must run replicated instead."""
+    import shutil
+
+    val_dir = str(tmp_path / "val3")
+    os.makedirs(val_dir)
+    for i in range(3):
+        shutil.copy(
+            os.path.join(data_dir, f"subj{i}.nii.gz"),
+            os.path.join(val_dir, f"val{i}.nii.gz"),
+        )
+    res = _run(
+        str(tmp_path), data_dir, "uneven_eval",
+        validation_subjects=val_dir,
+        eval_batch_size=2,
+        eval_every=1,
+    )
+    assert np.isfinite(res["history"][-1]["Loss-MSE-Reconstruction"])
+    # the eval actually ran (best-metric checkpoint written)
+    ckdir = os.path.join(
+        str(tmp_path), "uneven_eval", "baseline_vqvae", "checkpoints"
+    )
+    assert any("key_metric" in n for n in os.listdir(ckdir)), os.listdir(ckdir)
