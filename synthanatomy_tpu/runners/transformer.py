@@ -606,12 +606,32 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                     inputs, targets = prepare_batch(
                         batch["latents"], ordering, config.vocab_size
                     )
+                    # pure-DP meshes: shard the eval batch instead of
+                    # computing it replicated on every device; uneven
+                    # tails (drop_last=False) stay replicated — exact
+                    # either way
+                    shard_eval = (
+                        pure_dp
+                        and n_mesh_dev > 1
+                        and inputs.shape[0] % n_mesh_dev == 0
+                    )
                     conds = (
-                        [jnp.asarray(c) for c in batch["conditionings"]]
+                        [
+                            shard_batch(mesh, np.asarray(c))
+                            if shard_eval
+                            else jnp.asarray(c)
+                            for c in batch["conditionings"]
+                        ]
                         if "conditionings" in batch
                         else None
                     )
-                    _, m = eval_fn(estate, jnp.asarray(inputs), jnp.asarray(targets), conds)
+                    if shard_eval:
+                        xi_e = shard_batch(mesh, np.asarray(inputs))
+                        xt_e = shard_batch(mesh, np.asarray(targets))
+                    else:
+                        xi_e = jnp.asarray(inputs)
+                        xt_e = jnp.asarray(targets)
+                    _, m = eval_fn(estate, xi_e, xt_e, conds)
                     # keep the scalar on device; ONE host transfer per
                     # epoch (per-scalar np.asarray would pay the
                     # tunnel's ~3 ms dispatch floor N times)
