@@ -654,3 +654,74 @@ def test_make_sampler_fused_rezero_end_to_end():
     ge = np.asarray(exact(variables, jax.random.key(0)))
     agree = (gf == ge).mean()
     assert agree >= 0.9, f"greedy agreement {agree}"
+
+
+def test_fused_ring_wraparound_matches_general():
+    """Ring-buffer WRAPAROUND (t > ring_size): every other fused test
+    stays below the 128-slot minimum ring, but production decodes 1400
+    tokens against a 448-slot ring, so the slot→position mapping
+    (k_pos = t-1-mod(t-1-w, R)) must stay exact after slots are
+    overwritten.  Runs the pure-JAX fused reference 140 steps (past the
+    R=128 wrap) against the general decode path, then steps the Pallas
+    kernel (interpret) through the wrap from the reference's state."""
+    L = 140  # > ring_size 128
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=L + 1, dim=DIM, depth=DEPTH,
+        heads=HEADS, dim_head=DH, local_attn_heads=LH,
+        local_window_size=WIN, nb_features=M, dtype=jnp.bfloat16,
+    )
+    x0 = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(2), "favor": jax.random.key(3)}, x0
+    )
+    cfg = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=False, state_dtype=jnp.float32,
+    )
+    assert cfg.ring_size == 128 and L > cfg.ring_size
+    params = pack_fused_params(model, variables)
+    rng = np.random.default_rng(31)
+    tokens = jnp.asarray(rng.integers(0, VOCAB - 1, (B, L)), jnp.int32)
+
+    lg_f = _run_fused(model, variables, cfg, params, tokens,
+                      use_quantized=False)
+    lg_g = _run_general(model, variables, tokens)
+    # the post-wrap tail is the part under test
+    np.testing.assert_allclose(
+        np.asarray(lg_f[:, 120:]), np.asarray(lg_g[:, 120:]),
+        rtol=0.08, atol=0.08,
+    )
+    agree = (
+        np.argmax(np.asarray(lg_f[:, 120:]), -1)
+        == np.argmax(np.asarray(lg_g[:, 120:]), -1)
+    ).mean()
+    assert agree >= 0.95, f"post-wrap greedy agreement {agree}"
+
+    # Pallas kernel steps THROUGH the wrap: rebuild the reference state
+    # at t=124 and compare kernel vs reference for 12 steps (124..135)
+    step = make_fused_decode_step(cfg, interpret=True)
+    state_r = init_fused_state(cfg)
+    for t in range(124):
+        h = _embed(model, variables, tokens[:, t], t)
+        _, state_r, ka, va = fused_decode_step_ref(
+            params, state_r, h, jnp.asarray(t), cfg, use_quantized=False
+        )
+        state_r = update_rings(state_r, ka, va, t, cfg)
+    state_k = jax.tree.map(lambda x: x, state_r)
+    for t in range(124, 136):
+        h = _embed(model, variables, tokens[:, t], t)
+        hk, state_k, ka_k, va_k = step(params, state_k, h, t)
+        hr, state_r, ka_r, va_r = fused_decode_step_ref(
+            params, state_r, h, jnp.asarray(t), cfg, use_quantized=False
+        )
+        # at t≈128 the FAVOR S entries are sums of ~128 exp terms, so
+        # kernel-vs-ref bf16 matmul noise is larger than the 10-step
+        # tests' (measured max 0.038 on 1/256 elements); a wrap BUG
+        # would put O(1) errors on most elements
+        np.testing.assert_allclose(
+            np.asarray(hk), np.asarray(hr), rtol=6e-2, atol=6e-2,
+            err_msg=f"t={t}",
+        )
+        state_k = update_rings(state_k, ka_k, va_k, t, cfg)
+        state_r = update_rings(state_r, ka_r, va_r, t, cfg)
