@@ -725,3 +725,53 @@ def test_fused_ring_wraparound_matches_general():
         )
         state_k = update_rings(state_k, ka_k, va_k, t, cfg)
         state_r = update_rings(state_r, ka_r, va_r, t, cfg)
+
+
+def test_kernel_interpret_multihead():
+    """Multi-head head-packing (pair = 128//dh heads per lane row): the
+    other kernel tests run 1 global + 1 local head; the paper config
+    runs 8+8.  4 heads (2 global, 2 local) exercises the packed-head
+    indexing in the kernel vs the reference."""
+    mh_heads, mh_lh, mh_dim = 4, 2, 256
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=32, dim=mh_dim, depth=DEPTH,
+        heads=mh_heads, dim_head=DH, local_attn_heads=mh_lh,
+        local_window_size=WIN, nb_features=M, dtype=jnp.bfloat16,
+    )
+    x0 = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(4), "favor": jax.random.key(5)}, x0
+    )
+    cfg = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=mh_dim, heads=mh_heads, dim_head=DH,
+        local_heads=mh_lh, local_window=WIN, nb_features=M,
+        quantize=True, state_dtype=jnp.float32,
+    )
+    params = pack_fused_params(model, variables)
+    rng = np.random.default_rng(41)
+    tokens = jnp.asarray(rng.integers(0, VOCAB - 1, (B, 8)), jnp.int32)
+
+    step = make_fused_decode_step(cfg, interpret=True)
+    state_k = init_fused_state(cfg)
+    state_r = init_fused_state(cfg)
+    for t in range(8):
+        h = _embed(model, variables, tokens[:, t], t)
+        hk, state_k, ka_k, va_k = step(params, state_k, h, t)
+        hr, state_r, ka_r, va_r = fused_decode_step_ref(
+            params, state_r, h, jnp.asarray(t), cfg, use_quantized=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(hk), np.asarray(hr), rtol=3e-2, atol=3e-2,
+            err_msg=f"t={t}",
+        )
+        state_k = update_rings(state_k, ka_k, va_k, t, cfg)
+        state_r = update_rings(state_r, ka_r, va_r, t, cfg)
+
+    # and the fused reference itself vs the general path at this width
+    lg_f = _run_fused(model, variables, cfg, params, tokens,
+                      use_quantized=False)
+    lg_g = _run_general(model, variables, tokens)
+    agree = (
+        np.argmax(np.asarray(lg_f), -1) == np.argmax(np.asarray(lg_g), -1)
+    ).mean()
+    assert agree >= 0.95, f"greedy agreement {agree}"
