@@ -125,3 +125,55 @@ def test_performer_export_roundtrip():
     assert set(sd_back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(sd_back[k], sd[k])
+
+
+def test_performer_export_roundtrip_rezero():
+    """ReZero blocks (the released checkpoints' form): the wrapper's
+    scalar ``g`` gain replaces the pre-norm keys at the same nesting
+    position; torch → flax → torch must be the identity and the flax
+    tree must carry g_attn/g_ff instead of norms."""
+    from tools.export_checkpoint import export_performer_state_dict
+
+    sd = _torch_sd()
+    # rewrite the wrapper keys into the ReZero form
+    rz = {}
+    for k, v in sd.items():
+        if ".fn.norm." in k:
+            continue
+        rz[k] = v
+    for L in range(DEPTH):
+        p = f"performer.net.layers.{L}"
+        rz[f"{p}.0.fn.g"] = np.float32(0.7)
+        rz[f"{p}.1.fn.g"] = np.float32(0.5)
+
+    params = convert_performer_state_dict(rz, depth=DEPTH)
+    for L in range(DEPTH):
+        blk = params[f"block_{L}"]
+        assert "g_attn" in blk and "g_ff" in blk
+        assert "norm_attn" not in blk and "norm_ff" not in blk
+        np.testing.assert_allclose(blk["g_attn"], [0.7])
+
+    sd_back = export_performer_state_dict(params, depth=DEPTH)
+    assert set(sd_back) == set(rz)
+    for k in rz:
+        np.testing.assert_array_equal(
+            np.asarray(sd_back[k]).reshape(-1), np.asarray(rz[k]).reshape(-1),
+            err_msg=k,
+        )
+
+    # the converted ReZero tree runs in the flax model
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=SEQ, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DIM_HEAD, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+        use_rezero=True,
+    )
+    ref_vars = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, SEQ), jnp.int32),
+    )
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "favor": ref_vars["favor"],
+    }
+    logits = model.apply(variables, jnp.zeros((1, SEQ), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()

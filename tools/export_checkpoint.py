@@ -139,8 +139,12 @@ def export_performer_state_dict(
     """Performer flax params → performer-pytorch-style state dict with
     the reference wrapper nesting (pre-LayerNorm: ``.0.fn.norm`` +
     ``.0.fn.fn.`` attention, ``.1.fn.fn.fn.`` Chunk-wrapped FF) — the
-    inverse of ``convert_performer_checkpoint.py``.  Standard pre-LN
-    blocks only (ReZero/ScaleNorm variants raise)."""
+    inverse of ``convert_performer_checkpoint.py``.
+
+    ReZero blocks (the PAPER config and the released checkpoints'
+    form, reference README.md:140) export with the wrapper's ``g``
+    gain in place of the pre-norm keys at the same nesting position
+    (``.0.fn.g`` / ``.1.fn.g``); ScaleNorm raises."""
     sd: Dict[str, np.ndarray] = {}
 
     def lin(prefix: str, entry: Dict[str, np.ndarray]):
@@ -167,17 +171,25 @@ def export_performer_state_dict(
 
     for L in range(depth):
         blk = params[f"block_{L}"]
-        if "g_attn" in blk or "norm_attn" not in blk:
+        rezero = "g_attn" in blk
+        if not rezero and "norm_attn" not in blk:
             raise NotImplementedError(
-                "export supports standard pre-LayerNorm blocks only"
+                "export supports pre-LayerNorm and ReZero blocks only "
+                "(ScaleNorm has no reference-checkpoint form)"
             )
         p = f"performer.net.layers.{L}"
-        sd[f"{p}.0.fn.norm.weight"] = np.asarray(blk["norm_attn"]["scale"])
-        sd[f"{p}.0.fn.norm.bias"] = np.asarray(blk["norm_attn"]["bias"])
+        if rezero:
+            sd[f"{p}.0.fn.g"] = np.asarray(blk["g_attn"]).reshape(())
+        else:
+            sd[f"{p}.0.fn.norm.weight"] = np.asarray(blk["norm_attn"]["scale"])
+            sd[f"{p}.0.fn.norm.bias"] = np.asarray(blk["norm_attn"]["bias"])
         for name in ("to_q", "to_k", "to_v", "to_out"):
             lin(f"{p}.0.fn.fn.{name}", blk["attn"][name])
-        sd[f"{p}.1.fn.norm.weight"] = np.asarray(blk["norm_ff"]["scale"])
-        sd[f"{p}.1.fn.norm.bias"] = np.asarray(blk["norm_ff"]["bias"])
+        if rezero:
+            sd[f"{p}.1.fn.g"] = np.asarray(blk["g_ff"]).reshape(())
+        else:
+            sd[f"{p}.1.fn.norm.weight"] = np.asarray(blk["norm_ff"]["scale"])
+            sd[f"{p}.1.fn.norm.bias"] = np.asarray(blk["norm_ff"]["bias"])
         lin(f"{p}.1.fn.fn.fn.w1", blk["ff"]["w1"])
         lin(f"{p}.1.fn.fn.fn.w2", blk["ff"]["w2"])
 
