@@ -57,3 +57,37 @@ def test_verify_vqvae_harness_roundtrip(tmp_path, monkeypatch):
 
     row = vr.verify_vqvae(pt, REFERENCE)
     assert row["status"] == "PASS", row
+
+
+def test_detect_performer_form():
+    """The released priors carry the paper flags (ReZero + learned
+    spatial tables + conditioning); the harness must detect the form
+    from the state dict so it builds matching models."""
+    import tools.verify_released as vr
+
+    sd_preln = {
+        "token_emb.weight": np.zeros((4, 8), np.float32),
+        "performer.net.layers.0.0.fn.norm.weight": np.ones(8, np.float32),
+    }
+    form = vr.detect_performer_form(sd_preln)
+    assert form == {
+        "use_rezero": False,
+        "spatial_position_emb": None,
+        "conditioning_num_tokens": None,
+    }
+
+    sd_paper = {
+        "token_emb.weight": np.zeros((4, 8), np.float32),
+        "performer.net.layers.0.0.fn.g": np.float32(0.5),
+        "performer.net.layers.0.1.fn.g": np.float32(0.5),
+        "spatial_position_emb.0.emb.weight": np.zeros((10, 8), np.float32),
+        "spatial_position_emb.1.emb.weight": np.zeros((14, 8), np.float32),
+        "conditioning_emb.1.weight": np.zeros((7, 8), np.float32),
+        "conditioning_emb.0.weight": np.zeros((3, 8), np.float32),
+    }
+    form = vr.detect_performer_form(sd_paper)
+    assert form == {
+        "use_rezero": True,
+        "spatial_position_emb": "absolute",
+        "conditioning_num_tokens": (3, 7),  # index-sorted
+    }

@@ -59,6 +59,35 @@ PAPER_PERFORMER = dict(
 )
 
 
+def detect_performer_form(sd) -> dict:
+    """Infer the block/embedding form from a performer state dict so
+    the harness builds the RIGHT models for the released checkpoints
+    (paper flags, reference README.md:140-141: --use_rezero=True,
+    --spatial_position_emb='absolute', conditioned priors):
+
+    - ReZero: any wrapper ``.g`` gain key;
+    - learned spatial tables: ``spatial_position_emb.{i}.emb.weight``;
+    - conditioning: ``conditioning_emb.{i}.weight`` — vocab sizes read
+      off the table shapes.
+    """
+    import re
+
+    use_rezero = any(k.endswith(".g") for k in sd)
+    has_spatial = any("spatial_position_emb." in k for k in sd)
+    cond = {}
+    for k, v in sd.items():
+        m = re.search(r"conditioning_emb\.(\d+)\.weight$", k)
+        if m:
+            cond[int(m.group(1))] = int(np.asarray(v).shape[0])
+    return dict(
+        use_rezero=use_rezero,
+        spatial_position_emb="absolute" if has_spatial else None,
+        conditioning_num_tokens=(
+            tuple(cond[i] for i in sorted(cond)) or None
+        ),
+    )
+
+
 def _import_reference(reference_root: str):
     """Import the reference's torch BaselineVQVAE, stubbing the one
     monai symbol it touches (SubpixelUpsample — unused for the paper
@@ -233,6 +262,11 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
 
     cfg = PAPER_PERFORMER
     sd = load_torch_state_dict(pt_path)
+    # the released priors carry the paper flags (ReZero + learned
+    # spatial tables + conditioning) — detect the form from the weights
+    # so both models are built to match it
+    form = detect_performer_form(sd)
+    n_cond = form["conditioning_num_tokens"]
     ref_ordering = RefOrdering(
         ordering_type="raster_scan", spatial_dims=3,
         dimensions=(1,) + cfg["grid"],
@@ -246,10 +280,20 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
         local_attn_heads=cfg["local_attn_heads"],
         local_window_size=cfg["local_window_size"],
         ordering=ref_ordering,
+        use_rezero=form["use_rezero"],
+        spatial_position_emb=form["spatial_position_emb"],
+        spatial_shape=cfg["grid"],
+        conditioning_num_tokens=n_cond,
+        conditioning_type="bos_replacement" if n_cond else "none",
     )
-    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
-                           strict=False)
-    tmodel.eval()
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+    )
+    if unexpected:
+        return {
+            "name": os.path.basename(pt_path), "status": "FAIL",
+            "detail": f"unconsumed checkpoint keys: {unexpected[:4]}",
+        }
 
     params = convert_performer_state_dict(sd, depth=cfg["depth"])
     jmodel = Performer(
@@ -258,13 +302,27 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
         dim=cfg["dim"], depth=cfg["depth"], heads=cfg["heads"],
         dim_head=cfg["dim_head"], local_attn_heads=cfg["local_attn_heads"],
         local_window_size=cfg["local_window_size"], dtype=jnp.float32,
+        use_rezero=form["use_rezero"],
+        spatial_position_emb=form["spatial_position_emb"],
+        spatial_shape=cfg["grid"],
+        ordering=Ordering("raster_scan", 3, cfg["grid"]),
+        conditioning_num_tokens=n_cond,
+        conditioning_type="bos_replacement" if n_cond else "none",
     )
     rng = np.random.default_rng(0)
     seq = rng.integers(0, cfg["vocab"], (1, 256)).astype(np.int64)
+    t_conds = (
+        [torch.zeros(1, 1, dtype=torch.long) for _ in n_cond]
+        if n_cond
+        else None
+    )
+    j_conds = (
+        [jnp.zeros((1,), jnp.int32) for _ in n_cond] if n_cond else None
+    )
     with torch.no_grad():
-        t_logits = tmodel(torch.from_numpy(seq)).numpy()
+        t_logits = tmodel(torch.from_numpy(seq), t_conds).numpy()
     j_logits = np.asarray(
-        jmodel.apply({"params": params, "favor": {}}, jnp.asarray(seq))
+        jmodel.apply({"params": params, "favor": {}}, jnp.asarray(seq), j_conds)
     )
     agree = float((t_logits.argmax(-1) == j_logits.argmax(-1)).mean())
     ok = agree > 0.999 and np.allclose(t_logits, j_logits, rtol=1e-3, atol=1e-3)
