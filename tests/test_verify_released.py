@@ -74,6 +74,7 @@ def test_detect_performer_form():
         "use_rezero": False,
         "spatial_position_emb": None,
         "conditioning_num_tokens": None,
+        "nb_features": None,
     }
 
     sd_paper = {
@@ -84,10 +85,55 @@ def test_detect_performer_form():
         "spatial_position_emb.1.emb.weight": np.zeros((14, 8), np.float32),
         "conditioning_emb.1.weight": np.zeros((7, 8), np.float32),
         "conditioning_emb.0.weight": np.zeros((3, 8), np.float32),
+        "performer.net.layers.0.0.fn.fn.fast_attention.projection_matrix":
+            np.zeros((266, 64), np.float32),
     }
     form = vr.detect_performer_form(sd_paper)
     assert form == {
         "use_rezero": True,
         "spatial_position_emb": "absolute",
         "conditioning_num_tokens": (3, 7),  # index-sorted
+        "nb_features": 266,
     }
+
+
+def test_convert_performer_favor_roundtrip():
+    """The FAVOR projection buffers map into the model's mutable
+    'favor' collection with the structure and orientation the flax
+    Performer expects (same (m, dh) einsum as performer-pytorch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.models.performer import Performer
+    from tools.convert_performer_checkpoint import convert_performer_favor
+
+    model = Performer(
+        num_tokens=9, max_seq_len=12, dim=16, depth=2, heads=2,
+        dim_head=8, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    ref = model.init(
+        {"params": jax.random.key(0), "favor": jax.random.key(1)},
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    sd = {}
+    for L in range(2):
+        sd[
+            f"performer.net.layers.{L}.0.fn.fn.fast_attention.projection_matrix"
+        ] = np.asarray(ref["favor"][f"block_{L}"]["attn"]["projection"])
+    favor = convert_performer_favor(sd, depth=2)
+
+    def paths(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p) + ":" + str(l.shape)
+            for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(favor) == paths(ref["favor"])
+    # converted favor drives the model identically to the original
+    x = jnp.zeros((1, 8), jnp.int32)
+    a = model.apply({"params": ref["params"], "favor": ref["favor"]}, x)
+    b = model.apply(
+        {"params": ref["params"], "favor": jax.tree.map(jnp.asarray, favor)},
+        x,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

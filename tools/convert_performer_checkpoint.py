@@ -31,9 +31,34 @@ from typing import Any, Dict
 
 import numpy as np
 
-__all__ = ["convert_performer_state_dict"]
+__all__ = ["convert_performer_state_dict", "convert_performer_favor"]
 
 _LAYER_RE = re.compile(r"\blayers\.(\d+)\.(\d)\.")
+
+
+def convert_performer_favor(
+    sd: Dict[str, np.ndarray], *, depth: int
+) -> Dict[str, Any]:
+    """Extract the per-layer FAVOR+ random-feature projection buffers
+    (``...layers.{L}.0...projection_matrix``, registered torch buffers
+    saved with the checkpoint) into this framework's mutable "favor"
+    collection ``{block_L: {attn: {projection: (m, dh)}}}``.
+
+    Teacher-forced logit parity with a released checkpoint needs the
+    SAME projections on both sides — redraw-at-load would only match in
+    distribution.  Returns {} when the checkpoint carries none (e.g.
+    ``no_projection`` configs)."""
+    favor: Dict[str, Any] = {}
+    for key, v in sd.items():
+        if not key.endswith("projection_matrix"):
+            continue
+        lm = _LAYER_RE.search(key)
+        if lm is None or int(lm.group(2)) != 0:
+            continue
+        favor[f"block_{lm.group(1)}"] = {
+            "attn": {"projection": np.asarray(v)}
+        }
+    return favor
 
 
 def convert_performer_state_dict(
@@ -137,11 +162,14 @@ def main():
     from tools.convert_checkpoint import load_torch_state_dict
 
     sd = load_torch_state_dict(src)
-    params = convert_performer_state_dict(sd, depth=depth)
+    tree = {
+        "params": convert_performer_state_dict(sd, depth=depth),
+        "favor": convert_performer_favor(sd, depth=depth),
+    }
     import jax
 
     flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path({"params": params})[0]:
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(getattr(p, "key", p)) for p in path)
         flat[key] = np.asarray(leaf)
     np.savez(dst, **flat)

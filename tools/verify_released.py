@@ -75,16 +75,23 @@ def detect_performer_form(sd) -> dict:
     use_rezero = any(k.endswith(".g") for k in sd)
     has_spatial = any("spatial_position_emb." in k for k in sd)
     cond = {}
+    nb_features = None
     for k, v in sd.items():
         m = re.search(r"conditioning_emb\.(\d+)\.weight$", k)
         if m:
             cond[int(m.group(1))] = int(np.asarray(v).shape[0])
+        if k.endswith("projection_matrix"):
+            # (m, dim_head) ORF buffer → the checkpoint's nb_features
+            # (performer-pytorch's default is 266 for d=64; ours rounds
+            # to 256 — the verification must use the checkpoint's)
+            nb_features = int(np.asarray(v).shape[0])
     return dict(
         use_rezero=use_rezero,
         spatial_position_emb="absolute" if has_spatial else None,
         conditioning_num_tokens=(
             tuple(cond[i] for i in sorted(cond)) or None
         ),
+        nb_features=nb_features,
     )
 
 
@@ -258,7 +265,10 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
     from synthanatomy_tpu.models.ordering import Ordering
     from synthanatomy_tpu.models.performer import Performer
     from tools.convert_checkpoint import load_torch_state_dict
-    from tools.convert_performer_checkpoint import convert_performer_state_dict
+    from tools.convert_performer_checkpoint import (
+        convert_performer_favor,
+        convert_performer_state_dict,
+    )
 
     cfg = PAPER_PERFORMER
     sd = load_torch_state_dict(pt_path)
@@ -296,12 +306,23 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
         }
 
     params = convert_performer_state_dict(sd, depth=cfg["depth"])
+    favor = convert_performer_favor(sd, depth=cfg["depth"])
+    if not favor:
+        # teacher-forced parity is undefined without the checkpoint's
+        # own random-feature projections (a redraw only matches in
+        # distribution)
+        return {
+            "name": os.path.basename(pt_path), "status": "SKIP",
+            "detail": "no projection_matrix buffers in the checkpoint — "
+                      "converted weights only structurally checked",
+        }
     jmodel = Performer(
         num_tokens=cfg["vocab"] + 1,
         max_seq_len=int(np.prod(cfg["grid"])) + 1,
         dim=cfg["dim"], depth=cfg["depth"], heads=cfg["heads"],
         dim_head=cfg["dim_head"], local_attn_heads=cfg["local_attn_heads"],
         local_window_size=cfg["local_window_size"], dtype=jnp.float32,
+        nb_features=form["nb_features"],
         use_rezero=form["use_rezero"],
         spatial_position_emb=form["spatial_position_emb"],
         spatial_shape=cfg["grid"],
@@ -322,7 +343,9 @@ def verify_transformer(pt_path: str, reference_root: str) -> dict:
     with torch.no_grad():
         t_logits = tmodel(torch.from_numpy(seq), t_conds).numpy()
     j_logits = np.asarray(
-        jmodel.apply({"params": params, "favor": {}}, jnp.asarray(seq), j_conds)
+        jmodel.apply(
+            {"params": params, "favor": favor}, jnp.asarray(seq), j_conds
+        )
     )
     agree = float((t_logits.argmax(-1) == j_logits.argmax(-1)).mean())
     ok = agree > 0.999 and np.allclose(t_logits, j_logits, rtol=1e-3, atol=1e-3)
