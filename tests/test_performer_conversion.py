@@ -177,3 +177,57 @@ def test_performer_export_roundtrip_rezero():
     }
     logits = model.apply(variables, jnp.zeros((1, SEQ), jnp.int32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_performer_export_from_orbax_dir_with_projections(tmp_path):
+    """The export CLI reads a real orbax checkpoint dir (a trained
+    experiment) and emits the reference-layout state dict INCLUDING
+    the FAVOR projection buffers, which convert back to the identical
+    favor collection — the full both-ways loop a user needs to move a
+    TPU-trained prior into the reference codebase."""
+    import os
+
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.transformer_steps import (
+        create_transformer_train_state,
+    )
+    from tools.convert_performer_checkpoint import (
+        convert_performer_favor,
+        convert_performer_state_dict,
+    )
+    from tools.export_checkpoint import _load_source, export_performer_state_dict
+
+    model = Performer(
+        num_tokens=VOCAB, max_seq_len=SEQ, dim=DIM, depth=DEPTH, heads=HEADS,
+        dim_head=DIM_HEAD, nb_features=8, dtype=jnp.float32, scan_chunk=8,
+    )
+    state, _ = create_transformer_train_state(model, jax.random.key(5), SEQ)
+    ckdir = str(tmp_path / "checkpoints")
+    os.makedirs(ckdir)
+    path = C.save_checkpoint(ckdir, state, 3)
+
+    params, aux, favor = _load_source(path, "performer")
+    sd = export_performer_state_dict(params, depth=DEPTH, favor=favor)
+    assert any(k.endswith("projection_matrix") for k in sd)
+
+    back = convert_performer_state_dict(sd, depth=DEPTH)
+    favor_back = convert_performer_favor(sd, depth=DEPTH)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(back)[0],
+        jax.tree_util.tree_flatten_with_path(
+            jax.device_get(state.params)
+        )[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(favor_back)[0],
+        jax.tree_util.tree_flatten_with_path(
+            jax.device_get(state.favor)
+        )[0],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa)
+        )

@@ -135,6 +135,7 @@ def export_performer_state_dict(
     params: Dict[str, Any],
     *,
     depth: int,
+    favor: Dict[str, Any] = None,
 ) -> Dict[str, np.ndarray]:
     """Performer flax params → performer-pytorch-style state dict with
     the reference wrapper nesting (pre-LayerNorm: ``.0.fn.norm`` +
@@ -185,6 +186,13 @@ def export_performer_state_dict(
             sd[f"{p}.0.fn.norm.bias"] = np.asarray(blk["norm_attn"]["bias"])
         for name in ("to_q", "to_k", "to_v", "to_out"):
             lin(f"{p}.0.fn.fn.{name}", blk["attn"][name])
+        if favor and f"block_{L}" in favor:
+            # FAVOR random-feature projection buffer — performer-pytorch
+            # registers it persistently, so a strict reference load
+            # expects it (same (m, dh) orientation both sides)
+            sd[f"{p}.0.fn.fn.fast_attention.projection_matrix"] = np.asarray(
+                favor[f"block_{L}"]["attn"]["projection"]
+            )
         if rezero:
             sd[f"{p}.1.fn.g"] = np.asarray(blk["g_ff"]).reshape(())
         else:
@@ -200,11 +208,48 @@ def export_performer_state_dict(
     return sd
 
 
+def _load_source(src: str, kind: str):
+    """(params, aux, favor) from a converter-layout ``.npz`` or an
+    orbax checkpoint directory saved by ``train/checkpoints.py``
+    (``checkpoint_epoch=N`` of the matching runner's train state)."""
+    import os
+
+    if src.endswith(".npz"):
+        flat = dict(np.load(src))
+        tree: Dict[str, Any] = {}
+        for key, val in flat.items():
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = val
+        params = tree["params"]
+        aux = tree.get("vq") or tree.get("batch_stats") or {}
+        return params, aux, tree.get("favor")
+    if os.path.isdir(src):
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(src))
+        if kind == "vqvae":
+            return raw["g_params"], raw.get("vq") or {}, None
+        if kind == "discriminator":
+            if raw.get("d_params") is None:
+                raise SystemExit(
+                    f"{src} carries no discriminator state (trained "
+                    "with adversarial_component=False?)"
+                )
+            return raw["d_params"], raw.get("d_batch_stats") or {}, None
+        # performer train state
+        return raw["params"], {}, raw.get("favor")
+    raise SystemExit(f"{src} is neither a .npz nor a checkpoint directory")
+
+
 def main():
     if len(sys.argv) < 4:
         raise SystemExit(
-            "usage: export_checkpoint.py {vqvae|discriminator} "
-            "<checkpoint-dir-or-npz> out.pt [--n_levels=N --n_res_layers=M]"
+            "usage: export_checkpoint.py {vqvae|discriminator|performer} "
+            "<checkpoint-dir-or-npz> out.pt "
+            "[--n_levels=N --n_res_layers=M --depth=N]"
         )
     kind, src, dst = sys.argv[1:4]
     kwargs = {}
@@ -215,23 +260,7 @@ def main():
 
     import torch
 
-    if not src.endswith(".npz"):
-        raise SystemExit(
-            "CLI input must be the .npz layout written by "
-            "convert_checkpoint.py; for orbax checkpoint dirs use the "
-            "library functions (export_vqvae_state_dict / "
-            "export_discriminator_state_dict) with a restored state"
-        )
-    flat = dict(np.load(src))
-    tree: Dict[str, Any] = {}
-    for key, val in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-    params = tree["params"]
-    aux = tree.get("vq") or tree.get("batch_stats") or {}
+    params, aux, favor = _load_source(src, kind)
 
     if kind == "vqvae":
         if not hasattr(aux.get("level_0", None), "codebook"):
@@ -252,6 +281,16 @@ def main():
         sd = export_discriminator_state_dict(
             params, aux, n_layers=int(kwargs.get("n_layers", 3))
         )
+    elif kind == "performer":
+        depth = int(
+            kwargs.get(
+                "depth",
+                1 + max(
+                    int(k.split("_")[1]) for k in params if k.startswith("block_")
+                ),
+            )
+        )
+        sd = export_performer_state_dict(params, depth=depth, favor=favor)
     else:
         raise SystemExit(f"unknown kind {kind}")
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, dst)
