@@ -266,3 +266,59 @@ def test_discriminator_export_roundtrip():
     }
     for k in sd_back:
         np.testing.assert_array_equal(sd_back[k], sd[k])
+
+
+def test_vqvae_export_from_orbax_dir(tmp_path):
+    """The export CLI's orbax path: a saved VQ-VAE train checkpoint
+    (g_params + vq collection, raw-restored as dicts) exports to the
+    reference layout whose back-conversion reproduces the codebook and
+    conv kernels exactly."""
+    import os
+
+    import jax.numpy as jnp
+
+    from synthanatomy_tpu.models.vqvae import BaselineVQVAE
+    from synthanatomy_tpu.train import checkpoints as C
+    from synthanatomy_tpu.train.vqvae_steps import create_vqvae_train_state
+    from tools.export_checkpoint import _load_source, export_vqvae_state_dict
+    from synthanatomy_tpu.ops.vq import VQState
+
+    model = BaselineVQVAE(
+        n_levels=N_LEVELS,
+        downsample_parameters=((4, 2, 1, 1),) * N_LEVELS,
+        upsample_parameters=((4, 2, 1, 0, 1),) * N_LEVELS,
+        n_embed=N_EMBED, embed_dim=EMBED_DIM, n_channels=N_CH,
+        n_res_channels=N_CH, n_res_layers=N_RES, dtype=jnp.float32,
+        use_pallas_vq=False,
+    )
+    state, _, _ = create_vqvae_train_state(model, jax.random.key(2), (16, 16, 16))
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir)
+    path = C.save_checkpoint(ckdir, state, 1)
+
+    params, aux, _ = _load_source(path, "vqvae")
+    # raw orbax restore yields plain dicts for the VQState dataclass
+    lv = aux["level_0"]
+    if not hasattr(lv, "codebook"):
+        aux = {"level_0": VQState(
+            codebook=lv["codebook"], cluster_size=lv["cluster_size"],
+            embed_avg=lv["embed_avg"],
+        )}
+    sd = export_vqvae_state_dict(
+        params, aux, n_levels=N_LEVELS, n_res_layers=N_RES
+    )
+    params2, vq2 = convert_vqvae_state_dict(
+        sd, n_levels=N_LEVELS, n_res_layers=N_RES
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.vq["level_0"].codebook),
+        np.asarray(vq2["level_0"].codebook),
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params2)[0],
+        jax.tree_util.tree_flatten_with_path(jax.device_get(state.g_params))[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa),
+        )
