@@ -95,6 +95,22 @@ def main() -> None:
     print(f"      {len(latents)} latent grids "
           f"{np.load(os.path.join(lat_dir, latents[0])).shape}")
 
+    # conditioned prior (the released paper priors' setup): a tiny
+    # conditioning CSV joined on the subject name
+    import pandas as pd
+
+    cond_csv = os.path.join(root, "conditioning.csv")
+    pd.DataFrame(
+        {
+            "subject": sorted(latents),
+            "age": [60.0, 70.0, 60.0, 70.0],
+        }
+    ).to_csv(cond_csv, index=False)
+
+    # the PAPER block/embedding form at smoke scale: ReZero blocks +
+    # learned 'absolute' spatial tables + bos_replacement conditioning,
+    # dim_head=64 so stage [4/5] exercises the FUSED decode kernel
+    # (supports_fused_decode needs dim_head∈{64,128} and dim%128==0)
     tr = dict(
         training_subjects=lat_dir,
         validation_subjects=lat_dir,
@@ -105,13 +121,17 @@ def main() -> None:
         vocab_size=64,
         n_embd=128,
         n_layers=2,
-        n_head=4,
-        dim_head=32,
+        n_head=2,
+        dim_head=64,
         nb_features=128,
-        local_attn_heads=2,
+        local_attn_heads=1,
         local_window_size=64,
         ordering_type="hilbert",
-        spatial_position_emb="fixed",
+        use_rezero=True,
+        spatial_position_emb="absolute",
+        conditioning_path=cond_csv,
+        conditionings=("age",),
+        conditioning_type="bos_replacement",
     )
 
     print("[3/5] Performer prior training (Pallas kernels on) ...", flush=True)
