@@ -42,6 +42,9 @@ def run(
     eval_every: int = 5,
     augmentation_probability: float = 0.2,
     augmentation_strength: float = 0,
+    # TPU-native extension: randomized augmentations on-device (see
+    # VQVAEConfig.device_augmentation)
+    device_augmentation: bool = True,
     # Loss parameters
     loss: str = "jukebox_perceptual",
     lpips_weights: Optional[str] = None,

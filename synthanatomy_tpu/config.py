@@ -80,6 +80,14 @@ class VQVAEConfig:
     eval_every: int = 5
     augmentation_probability: float = 0.2
     augmentation_strength: float = 0.0
+    # TPU-native extension: run the randomized augmentations (affine
+    # resample + photometric ops) on-device inside the train step jit
+    # instead of single-threaded scipy on the host — the host's
+    # ~1 s/volume RandAffined starves the chip at the paper geometry
+    # (BASELINE.md host-pipeline row).  Decisions/params still come
+    # from the per-sample host rng, so the trace CSV contract holds.
+    # Applies to full-volume training only (patch mode stays on host).
+    device_augmentation: bool = True
     # --- loss
     loss: str = "jukebox_perceptual"
     # pretrained LPIPS weights (.npz from tools/convert_lpips.py /

@@ -159,11 +159,15 @@ class VolumeDataset:
         load_nii_canonical: bool = True,
         seed: int = 0,
         use_native: bool = True,
+        device_augment: bool = False,
     ):
         self.subjects = list(subjects)
         self.transform = transform
         self.canonical = load_nii_canonical
         self.seed = seed
+        self.device_augment = (
+            device_augment and transform.supports_device_augment()
+        )
         self._native = None
         if use_native:
             try:
@@ -204,14 +208,28 @@ class VolumeDataset:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, index])
         )
-        vol, trace = self.transform(img.data, rng, pre_normalized=pre_normalized)
-        return {
-            "MRI": vol[..., None],  # channels-last
-            "trace": trace,
+        sample: Dict[str, Any] = {
             "path": subj["MRI"],
             "affine": img.affine,
             "augmentation_id": subj.get("augmentation_id", 0),
         }
+        if self.device_augment:
+            # host does the deterministic part only; the randomized
+            # chain runs on-device from these pre-drawn params
+            # (ops/augment.py) — same rng stream, same trace
+            vol, _ = self.transform(
+                img.data, rng, pre_normalized=pre_normalized,
+                defer_augment=True,
+            )
+            params, trace = self.transform.draw_device_params(vol.shape, rng)
+            sample["augment"] = params
+        else:
+            vol, trace = self.transform(
+                img.data, rng, pre_normalized=pre_normalized
+            )
+        sample["MRI"] = vol[..., None]  # channels-last
+        sample["trace"] = trace
+        return sample
 
 
 class LatentDataset:
@@ -339,6 +357,11 @@ class PrefetchLoader:
                     collated: Dict[str, Any] = {}
                     for k in self.collate_keys:
                         collated[k] = np.stack([s[k] for s in samples])
+                    if "augment" in samples[0]:
+                        collated["augment"] = {
+                            k: np.stack([s["augment"][k] for s in samples])
+                            for k in samples[0]["augment"]
+                        }
                     if "conditionings" in samples[0]:
                         n_conds = len(samples[0]["conditionings"])
                         collated["conditionings"] = [

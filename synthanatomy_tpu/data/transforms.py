@@ -97,17 +97,19 @@ def clamp01(x: np.ndarray) -> np.ndarray:
     return np.clip(x, 0.0, 1.0)
 
 
-def _rand_affine(
-    x: np.ndarray,
+def _draw_affine(
     rng: np.random.Generator,
+    in_shape: Sequence[int],
+    out_shape: Sequence[int],
     *,
     rotate_range: float,
     translate_range: float,
     scale_range: float,
-    spatial_size: Optional[Sequence[int]],
-) -> np.ndarray:
-    """MONAI RandAffined equivalent: random small rotation (radians,
-    per-axis), translation (voxels), isotropic-ish scale, zero padding."""
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Draw the MONAI-RandAffined parameters and return the output→input
+    voxel map ``(M, offset)`` — shared by the host (scipy) and device
+    (ops/augment.py) resamplers so both consume the per-sample rng
+    stream identically."""
     angles = rng.uniform(-rotate_range, rotate_range, 3)
     trans = rng.uniform(-translate_range, translate_range, 3)
     scales = 1.0 + rng.uniform(-scale_range, scale_range, 3)
@@ -120,14 +122,31 @@ def _rand_affine(
         return m
 
     R = rot(0, angles[0]) @ rot(1, angles[1]) @ rot(2, angles[2])
-    S = np.diag(scales)
-    M = R @ S
-
-    out_shape = tuple(spatial_size) if spatial_size else x.shape
-    c_in = (np.asarray(x.shape) - 1) / 2.0
+    M = R @ np.diag(scales)
+    c_in = (np.asarray(in_shape) - 1) / 2.0
     c_out = (np.asarray(out_shape) - 1) / 2.0
     # map output voxel -> input voxel
     offset = c_in - M @ c_out - trans
+    return M, offset
+
+
+def _rand_affine(
+    x: np.ndarray,
+    rng: np.random.Generator,
+    *,
+    rotate_range: float,
+    translate_range: float,
+    scale_range: float,
+    spatial_size: Optional[Sequence[int]],
+) -> np.ndarray:
+    """MONAI RandAffined equivalent: random small rotation (radians,
+    per-axis), translation (voxels), isotropic-ish scale, zero padding."""
+    out_shape = tuple(spatial_size) if spatial_size else x.shape
+    M, offset = _draw_affine(
+        rng, x.shape, out_shape,
+        rotate_range=rotate_range, translate_range=translate_range,
+        scale_range=scale_range,
+    )
     return ndimage.affine_transform(
         x, M, offset=offset, output_shape=out_shape, order=1, mode="constant", cval=0.0,
     ).astype(np.float32)
@@ -203,13 +222,87 @@ class VQVAETransform:
             return tuple(self.roi)
         return tuple(b - a for a, b in self.roi)
 
+    def supports_device_augment(self) -> bool:
+        """The device path covers the full-volume chain (RandAffined +
+        photometric ops).  The patch path's flips/rot90 are cheap host
+        slices on small patches — no reason to move them."""
+        return self.augment and not self.patch_size
+
+    def draw_device_params(
+        self, shape: Sequence[int], rng: np.random.Generator
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, bool]]:
+        """Draw the augmentation decisions + parameters for the
+        device-side chain (``ops/augment.py``), consuming the
+        per-sample rng stream in the same order as ``__call__``'s
+        augment branch so traces and determinism are unchanged.  The
+        gaussian-noise VALUES are the one divergence: the device
+        stream is seeded from one host draw instead of drawing the
+        full array on host."""
+        assert self.supports_device_augment()
+        s = self.strength
+        trace: Dict[str, bool] = {}
+        out_shape = self._roi_size() or tuple(shape)
+
+        affine_fired = bool(rng.random() < self.p)
+        trace["RandAffined"] = affine_fired
+        if affine_fired:
+            M, offset = _draw_affine(
+                rng, shape, out_shape,
+                rotate_range=0.04 + AFFINE_ROTATE_SCALE * s,
+                translate_range=2 + int(round(AFFINE_TRANSLATE_SCALE * s)),
+                scale_range=0.05 + AFFINE_SCALE_SCALE * s,
+            )
+        else:
+            M, offset = np.eye(3), np.zeros(3)
+
+        contrast_fired = bool(rng.random() < self.p)
+        trace["RandAdjustContrastd"] = contrast_fired
+        gamma = 1.0
+        if contrast_fired:
+            lo = 0.99 - ADJUST_CONTRAST_GAMMA_SCALE * s
+            hi = 1.01 + ADJUST_CONTRAST_GAMMA_SCALE * s
+            gamma = float(rng.uniform(lo, hi))
+
+        shift_fired = bool(rng.random() < self.p)
+        trace["RandShiftIntensityd"] = shift_fired
+        shift = 0.0
+        if shift_fired:
+            shift = float(
+                rng.uniform(0.0, 0.05 + SHIFT_INTENSITY_OFFSET_SCALE * s)
+            )
+
+        noise_fired = bool(rng.random() < self.p)
+        trace["RandGaussianNoised"] = noise_fired
+        noise_seed = int(rng.integers(0, 2**31 - 1)) if noise_fired else 0
+
+        params = {
+            "affine_fired": np.asarray(affine_fired),
+            "matrix": np.asarray(M, np.float32),
+            "offset": np.asarray(offset, np.float32),
+            "contrast_fired": np.asarray(contrast_fired),
+            "gamma": np.asarray(gamma, np.float32),
+            "shift_fired": np.asarray(shift_fired),
+            "shift": np.asarray(shift, np.float32),
+            "noise_fired": np.asarray(noise_fired),
+            "noise_std": np.asarray(
+                0.02 + GAUSSIAN_NOISE_STD_SCALE * s, np.float32
+            ),
+            "noise_seed": np.asarray(noise_seed, np.uint32),
+        }
+        return params, trace
+
     def __call__(
         self,
         x: np.ndarray,
         rng: Optional[np.random.Generator] = None,
         *,
         pre_normalized: bool = False,
+        defer_augment: bool = False,
     ) -> Tuple[np.ndarray, Dict[str, bool]]:
+        """``defer_augment=True`` runs only the deterministic host part
+        (normalize/crop/pad) and skips the augment branch AND the final
+        clamp — the device chain (ops/augment.py) applies both from the
+        params drawn by ``draw_device_params``."""
         rng = rng or np.random.default_rng(0)
         trace: Dict[str, bool] = {}
         x = np.asarray(x, np.float32)
@@ -225,6 +318,9 @@ class VQVAETransform:
             else:
                 x = spatial_crop(x, [a for a, _ in self.roi], [b for _, b in self.roi])
             x = spatial_pad(x, self._roi_size())
+
+        if defer_augment:
+            return np.ascontiguousarray(x, np.float32), trace
 
         if self.patch_size:
             x = rand_spatial_crop(x, self.patch_size, rng)

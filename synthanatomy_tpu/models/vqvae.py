@@ -337,6 +337,17 @@ class BaselineVQVAE(nn.Module):
         for i in range(self.n_levels):
             for res in self.decoder_res[i]:
                 x = res(x, deterministic=deterministic)
+            if i == self.n_levels - 1 and not deterministic:
+                # expose the final layer's input so the adaptive
+                # adversarial weight (reference trainer.py:269-294:
+                # ‖∇_last recon‖/‖∇_last gen‖) can be computed from a
+                # head-only vjp instead of two full backward passes —
+                # the grads w.r.t. the last kernel never flow through
+                # the rest of the network, so fixing x here is exact
+                self.sow(
+                    "diagnostics", "last_layer_input", x,
+                    reduce_fn=lambda _, b: b,
+                )
             x = self.decoder_ups[i](x)
             if i != self.n_levels - 1:
                 x = nn.relu(x)

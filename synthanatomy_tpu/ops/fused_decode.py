@@ -116,7 +116,21 @@ class FusedDecodeConfig:
     @property
     def pair(self) -> int:
         """heads packed per 128-lane row in the feature projection."""
-        return max(1, 128 // self.dim_head)
+        return _feature_pair(self.dim_head, self.gh)
+
+
+def _feature_pair(dim_head: int, gh: int) -> int:
+    """Heads packed per 128-lane row of the FAVOR feature matmul.
+
+    Capped to a divisor of the global-head count: pairing beyond it
+    would make the (B, gh*dh) → (B*gh/pair, pair*dh) reshape MERGE
+    rows across the lane dimension (e.g. (4, 64) → (2, 128) when
+    gh=1, dh=64), which Mosaic's layout inference rejects; capped, the
+    reshape only ever splits rows (or is the identity)."""
+    p = max(1, 128 // dim_head)
+    while gh % p:
+        p //= 2
+    return max(1, p)
 
 
 def supports_fused_decode(model) -> bool:
@@ -126,6 +140,7 @@ def supports_fused_decode(model) -> bool:
     non-GLU FF, no qkv/out biases, no per-layer rotary).  Anything else
     uses the general ``decode_step`` path."""
     gh = model.heads - model.local_attn_heads
+    lh = model.local_attn_heads
     return (
         model.causal
         and not model.generalized_attention
@@ -139,6 +154,13 @@ def supports_fused_decode(model) -> bool:
         and model.dim_head in (64, 128)
         and (model.dim * model.ff_mult) % 128 == 0
         and model.dim % 128 == 0
+        # each head group's lane width must be whole 128-lane vregs:
+        # the kernel's row-merging reshapes ((B, gh·dh) → (1, B·gh·dh)
+        # etc.) are pure vreg reindexing then; sub-vreg rows (e.g.
+        # gh=1, dh=64) would need lane shuffles Mosaic rejects
+        # ("infer-vector-layout: unsupported shape cast")
+        and (gh * model.dim_head) % 128 == 0
+        and (lh * model.dim_head) % 128 == 0
     )
 
 
@@ -162,7 +184,7 @@ def pack_fused_params(model, variables) -> Dict[str, jax.Array]:
     favor = variables["favor"]
     L = model.depth
     dh = model.dim_head
-    pair = max(1, 128 // dh)
+    pair = _feature_pair(dh, model.heads - model.local_attn_heads)
     qkv_w, out_w, w1, b1, w2, b2 = [], [], [], [], [], []
     ln1_s, ln1_b, ln2_s, ln2_b, projs = [], [], [], [], []
     for i in range(L):

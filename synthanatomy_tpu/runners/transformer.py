@@ -654,6 +654,29 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
     # already completed and silently skip the remaining epochs
     if not guard.should_stop:
         C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+        if config.rank == 0:
+            # the reference's end-of-training raw artifact
+            # (run_transformer.py:290-292): one-file torch state dict
+            from synthanatomy_tpu.interop import (
+                export_performer_state_dict,
+                save_raw_state_dict,
+            )
+
+            try:
+                out = save_raw_state_dict(
+                    os.path.join(
+                        dirs["checkpoint_directory"],
+                        f"model_state_dict_epoch={config.epochs}",
+                    ),
+                    export_performer_state_dict(
+                        host_state.params, depth=config.n_layers,
+                        favor=host_state.favor,
+                    ),
+                )
+                logger.info(f"wrote raw state dict {out}")
+            except Exception as exc:  # ScaleNorm / TP-packed params have
+                # no reference form; the orbax checkpoint stays durable
+                logger.warning(f"raw state-dict export skipped: {exc}")
     tb_train.close()
     tb_val.close()
     return {"state": host_state, "history": history, "dirs": dirs, "ordering": ordering}

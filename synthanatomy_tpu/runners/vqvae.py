@@ -15,6 +15,7 @@ reference's checkpoint / eval / logging cadences and output contracts:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List
 
@@ -77,6 +78,11 @@ def _make_loaders(config: VQVAEConfig, mode: str, shard_id: int, num_shards: int
         return VolumeDataset(
             subjects, tf, load_nii_canonical=config.load_nii_canonical,
             seed=config.seed,
+            # on-device augmentation: training only (the inference
+            # runners consume host-final volumes)
+            device_augment=(
+                config.device_augmentation and augment and mode == "training"
+            ),
         )
 
     augment_train = mode == "training" or config.no_augmented_extractions > 0
@@ -266,6 +272,8 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
 
+    device_aug = getattr(loaders["train"].dataset, "device_augment", False)
+
     def build_step(train_generator: bool):
         fun = make_vqvae_train_step(
             model, g_tx,
@@ -279,6 +287,17 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
             adaptive_value=config.adaptive_adversarial_weight_value,
             train_generator=train_generator,
         )
+        if device_aug:
+            from synthanatomy_tpu.ops.augment import augment_batch
+
+            base = fun
+
+            def fun(state, batch, aug, sched, lpips_params=None):
+                # augment inside the same jit as the step: one device
+                # dispatch, and XLA fuses the photometric tail into the
+                # first encoder conv's input read
+                return base(state, augment_batch(batch, aug), sched, lpips_params)
+
         return jax.jit(fun, donate_argnums=0 if config.donate_state else ())
 
     finetune_gate = config.finetune_adversarial_component is not None
@@ -359,7 +378,13 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                     break
                 x = shard_batch(mesh, batch["MRI"])
                 with profiler.step(global_step):
-                    state, metrics = step_fn(state, x, sched, lpips_params)
+                    if device_aug:
+                        aug = shard_batch(mesh, batch["augment"])
+                        state, metrics = step_fn(
+                            state, x, aug, sched, lpips_params
+                        )
+                    else:
+                        state, metrics = step_fn(state, x, sched, lpips_params)
                 global_step += 1
                 n_it += 1
                 for k, v in metrics.items():
@@ -486,6 +511,32 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
     # already checkpointed under its true epoch number above)
     if not guard.should_stop:
         C.save_checkpoint(dirs["checkpoint_directory"], host_state, config.epochs)
+        if config.rank == 0:
+            # the reference also writes a raw one-file state dict next to
+            # the engine checkpoint at training end (run_vqvae.py:389-392)
+            # — the release-artifact form its README distributes
+            from synthanatomy_tpu.interop import (
+                export_vqvae_state_dict,
+                save_raw_state_dict,
+            )
+
+            try:
+                out = save_raw_state_dict(
+                    os.path.join(
+                        dirs["checkpoint_directory"],
+                        f"model_state_dict_epoch={config.epochs}",
+                    ),
+                    export_vqvae_state_dict(
+                        host_state.g_params, host_state.vq,
+                        n_levels=config.no_levels,
+                        n_res_layers=config.no_res_layers,
+                        use_subpixel_conv=config.use_subpixel_conv,
+                    ),
+                )
+                logger.info(f"wrote raw state dict {out}")
+            except Exception as exc:  # the orbax checkpoint is the
+                # durable artifact; a conversion gap must not fail a run
+                logger.warning(f"raw state-dict export skipped: {exc}")
     tb_train.close()
     tb_val.close()
     tb_train_eval.close()

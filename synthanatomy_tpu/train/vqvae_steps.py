@@ -193,14 +193,52 @@ def make_vqvae_train_step(
         muts, summaries, recon = aux
 
         if adversarial and use_adaptive_weight:
-            g_recon = vjp_fn((jnp.ones(()), jnp.zeros(())))[0]
-            g_gen = vjp_fn((jnp.zeros(()), jnp.ones(())))[0]
-            n_r = jnp.linalg.norm(g_recon[last_layer]["kernel"].reshape(-1))
-            n_g = jnp.linalg.norm(g_gen[last_layer]["kernel"].reshape(-1))
+            # the reference computes the two norm-grads w.r.t. the LAST
+            # LAYER only (trainer.py:278-287) and then runs ONE combined
+            # backward.  ∂loss/∂K_last never flows through the rest of
+            # the network (K_last appears only in the final deconv), so
+            # a head-only vjp over [last conv → losses] with the sown
+            # last-layer input held constant is exact — and saves a full
+            # second backward pass through the conv stacks that a
+            # two-cotangent-pull formulation costs.
+            h_last = muts["diagnostics"]["last_layer_input"]
+
+            def head_losses(last_entry):
+                recon_h = model.apply(
+                    {"params": {last_layer: last_entry}, "vq": state.vq},
+                    h_last,
+                    method=lambda m, hh: m.decoder_ups[-1](hh),
+                )
+                out_h = {
+                    "reconstruction": [recon_h],
+                    # constants w.r.t. the last kernel — values don't
+                    # matter for the head grads
+                    "quantization_losses": [jnp.zeros(())],
+                }
+                r_l, _ = loss_fn(
+                    out_h, x,
+                    **_loss_kwargs(loss_name, sched, lpips_params, loss_rng),
+                )
+                lf = d_model.apply(
+                    d_vars, recon_h.astype(jnp.float32), training=False
+                )
+                g_l, _ = generator_loss(
+                    lf, criterion=generator_criterion,
+                    weight=adversarial_weight,
+                )
+                return r_l, g_l
+
+            _, head_vjp = jax.vjp(head_losses, state.g_params[last_layer])
+            g_r_last = head_vjp((jnp.ones(()), jnp.zeros(())))[0]
+            g_g_last = head_vjp((jnp.zeros(()), jnp.ones(())))[0]
+            n_r = jnp.linalg.norm(g_r_last["kernel"].reshape(-1))
+            n_g = jnp.linalg.norm(g_g_last["kernel"].reshape(-1))
             w = jnp.clip(n_r / (n_g + 1e-4), 0.0, 1e4)
             w = jnp.where(sched["epoch"] < adaptive_threshold, adaptive_value, w)
             w = jax.lax.stop_gradient(w)
-            grads = jax.tree.map(lambda a, b: a + w * b, g_recon, g_gen)
+            # ∇(recon + w·gen) in one pull — vjp is linear in the
+            # cotangent, so this equals g_recon + w·g_gen exactly
+            grads = vjp_fn((jnp.ones(()), w))[0]
         else:
             w = jnp.ones(())
             grads = vjp_fn((jnp.ones(()), jnp.ones(()) if adversarial else jnp.zeros(())))[0]

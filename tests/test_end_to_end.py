@@ -70,6 +70,15 @@ def test_full_pipeline(project):
         project["root"], "e2e", "baseline_vqvae", "checkpoints"
     )
     assert any(n.startswith("checkpoint_epoch=") for n in os.listdir(ckdir))
+    # the reference's end-of-training raw release artifact
+    # (run_vqvae.py:389-392): one torch-loadable state dict
+    import torch
+
+    raw = os.path.join(ckdir, "model_state_dict_epoch=2.pt")
+    assert os.path.exists(raw)
+    sd = torch.load(raw, weights_only=True)
+    assert "quantizer.0.impl.embedding.weight" in sd
+    assert tuple(sd["quantizer.0.impl.embedding.weight"].shape) == (16, 4)
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["Loss-Reconstruction-Total"])
     # the discriminator patch map must be non-empty at this volume size
@@ -134,6 +143,10 @@ def test_full_pipeline(project):
     assert np.isfinite(t_res["history"][-1]["Loss"])
     t_ckdir = os.path.join(project["root"], "e2e", "performer", "checkpoints")
     assert any(n.startswith("checkpoint_epoch=") for n in os.listdir(t_ckdir))
+    t_raw = os.path.join(t_ckdir, "model_state_dict_epoch=2.pt")
+    assert os.path.exists(t_raw)  # reference run_transformer.py:290-292
+    t_sd = torch.load(t_raw, weights_only=True)
+    assert "token_emb.weight" in t_sd and "norm.weight" in t_sd
 
     # ---- stage 2: inference (sampling) -------------------------------
     s_res = run_transformer(

@@ -198,24 +198,26 @@ def test_make_sampler_auto_falls_back_for_unsupported():
 
 
 def test_supports_fused_decode_gating():
-    good = Performer(num_tokens=9, max_seq_len=8, dim=128, depth=1, heads=2,
-                     dim_head=64, local_attn_heads=1, dtype=jnp.bfloat16)
+    good = Performer(num_tokens=9, max_seq_len=8, dim=256, depth=1, heads=4,
+                     dim_head=64, local_attn_heads=2, dtype=jnp.bfloat16)
     assert supports_fused_decode(good)
     # ReZero is SUPPORTED (the paper config) — gains fold into weights
     assert supports_fused_decode(
-        Performer(num_tokens=9, max_seq_len=8, dim=128, depth=1, heads=2,
-                  dim_head=64, local_attn_heads=1, dtype=jnp.bfloat16,
+        Performer(num_tokens=9, max_seq_len=8, dim=256, depth=1, heads=4,
+                  dim_head=64, local_attn_heads=2, dtype=jnp.bfloat16,
                   use_rezero=True)
     )
     for kw in (
         dict(generalized_attention=True),
         dict(use_scalenorm=True),
         dict(ff_glu=True),
-        dict(local_attn_heads=2),  # gh == 0
+        dict(local_attn_heads=4),  # gh == 0
+        dict(local_attn_heads=1),  # lh·dh = 64: sub-vreg head group
+        dict(local_attn_heads=3),  # gh·dh = 64: sub-vreg head group
         dict(rotary_position_emb=True),
     ):
-        base = dict(num_tokens=9, max_seq_len=8, dim=128, depth=1,
-                    heads=2, dim_head=64, local_attn_heads=1,
+        base = dict(num_tokens=9, max_seq_len=8, dim=256, depth=1,
+                    heads=4, dim_head=64, local_attn_heads=2,
                     dtype=jnp.bfloat16)
         base.update(kw)
         assert not supports_fused_decode(Performer(**base)), kw

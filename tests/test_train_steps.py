@@ -101,6 +101,61 @@ def test_vqvae_adaptive_weight_path():
     assert np.isfinite(w) and w >= 0.0 and w != 7.0
 
 
+def test_vqvae_adaptive_weight_matches_full_backward():
+    """The head-only adaptive-weight formulation (round 4: cheap vjp
+    over [last deconv → losses] with the sown last-layer input held
+    constant) must reproduce the reference definition exactly: the
+    norm ratio of the FULL backward's last-layer kernel grads
+    (trainer.py:278-287)."""
+    from synthanatomy_tpu.losses import vqvae as vqvae_losses
+    from synthanatomy_tpu.losses.adversarial import generator_loss
+
+    model = _small_vqvae()
+    d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)
+    state, g_tx, d_tx = create_vqvae_train_state(
+        model, jax.random.key(0), (16, 16, 16), d_model=d_model
+    )
+    step = jax.jit(
+        make_vqvae_train_step(
+            model, g_tx, loss_name="mse", d_model=d_model, d_tx=d_tx,
+            use_adaptive_weight=True,
+        )
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+    _, metrics = step(state, x, {**SCHED, "epoch": 5})
+    w_head = float(metrics["Adversarial-Weight"])
+
+    # independent reference computation: two full backwards, norms of
+    # the last-layer kernel grads (the pre-round-4 step formulation)
+    loss_fn = vqvae_losses.get_vqvae_loss("mse")
+    last = model.last_layer_name()
+    _, drop_rng, _ = jax.random.split(state.rng, 3)
+    d_vars = {"params": state.d_params, "batch_stats": state.d_batch_stats}
+
+    def forward(g_params):
+        out, _ = model.apply(
+            {"params": g_params, "vq": state.vq}, x,
+            decay=SCHED["decay"], commitment_cost=SCHED["commitment_cost"],
+            training=True, mutable=["vq", "diagnostics"],
+            rngs={"dropout": drop_rng},
+        )
+        r_l, _ = loss_fn(out, x)
+        lf = d_model.apply(
+            d_vars, out["reconstruction"][0].astype(jnp.float32),
+            training=False,
+        )
+        g_l, _ = generator_loss(lf, criterion="least_square", weight=0.005)
+        return r_l, g_l
+
+    _, vjp_fn = jax.vjp(forward, state.g_params)
+    g_recon = vjp_fn((jnp.ones(()), jnp.zeros(())))[0]
+    g_gen = vjp_fn((jnp.zeros(()), jnp.ones(())))[0]
+    n_r = jnp.linalg.norm(g_recon[last]["kernel"].reshape(-1))
+    n_g = jnp.linalg.norm(g_gen[last]["kernel"].reshape(-1))
+    w_full = float(jnp.clip(n_r / (n_g + 1e-4), 0.0, 1e4))
+    np.testing.assert_allclose(w_head, w_full, rtol=1e-5)
+
+
 def test_vqvae_finetune_gate_freezes_generator():
     model = _small_vqvae()
     d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)

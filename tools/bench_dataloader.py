@@ -43,13 +43,22 @@ def main():
                 (rng.uniform(0, 1000, shape)).astype(np.float32),
             )
 
-        tf = VQVAETransform(augment=True, augmentation_probability=0.2)
-        for use_native, tag in ((True, "native C++"), (False, "pure python")):
+        aug_p = float(kw.get("augment_p", 0.2))
+        tf = VQVAETransform(augment=True, augmentation_probability=aug_p)
+        cases = [
+            (True, False, "native C++"),
+            (False, False, "pure python"),
+            # host does load+normalize only; the randomized chain runs
+            # on-device inside the train step (config.device_augmentation)
+            (True, True, "native C++ + device-augment"),
+        ]
+        for use_native, dev_aug, tag in cases:
             if use_native and not native_available():
                 print("native loader unavailable; skipping")
                 continue
             ds = VolumeDataset(
-                discover_subjects(d), tf, use_native=use_native
+                discover_subjects(d), tf, use_native=use_native,
+                device_augment=dev_aug,
             )
             loader = PrefetchLoader(
                 ds, batch_size=2, num_workers=workers, shuffle=False,

@@ -8,6 +8,8 @@ Measures on the attached TPU chip:
   selectable loss, max batch that fits.
 
 Usage: python tools/bench_vqvae.py [--batch=N --loss=mse --levels=4]
+       [--adversarial [--adaptive]]   # full paper G+D step (config 2b)
+       [--device_augment]             # + on-device augmentation chain
 """
 
 from __future__ import annotations
@@ -39,6 +41,9 @@ def main():
     shape = tuple(kw.get("shape", (160, 224, 160)))
     train = bool(kw.get("train", True))
     recon = bool(kw.get("recon", True))
+    adversarial = bool(kw.get("adversarial", False))
+    adaptive = bool(kw.get("adaptive", False))
+    dev_aug = bool(kw.get("device_augment", False))
 
     model = BaselineVQVAE(
         n_levels=levels,
@@ -88,13 +93,42 @@ def main():
         )
 
     if train:
-        # ---- config 2: full train step ---------------------------------
+        # ---- config 2 / 2b: full train step ----------------------------
+        d_model = None
+        if adversarial:
+            from synthanatomy_tpu.models.discriminator import (
+                BaselineDiscriminator,
+            )
+
+            d_model = BaselineDiscriminator(dtype=jnp.bfloat16)
         with jax.default_device(cpu):
-            state, g_tx, _ = create_vqvae_train_state(
-                model, jax.random.key(0), init_shape, learning_rate=3e-4
+            state, g_tx, d_tx = create_vqvae_train_state(
+                model, jax.random.key(0), init_shape, learning_rate=3e-4,
+                d_model=d_model,
             )
         state = jax.device_put(state, dev)
-        step = jax.jit(make_vqvae_train_step(model, g_tx, loss_name=loss))
+        step = jax.jit(
+            make_vqvae_train_step(
+                model, g_tx, loss_name=loss, d_model=d_model, d_tx=d_tx,
+                use_adaptive_weight=adaptive,
+            )
+        )
+        if dev_aug:
+            from synthanatomy_tpu.data.transforms import VQVAETransform
+            from synthanatomy_tpu.ops.augment import augment_batch
+
+            tf = VQVAETransform(augment=True, augmentation_probability=1.0)
+            prm = [
+                tf.draw_device_params(shape, np.random.default_rng(i))[0]
+                for i in range(batch)
+            ]
+            aug = jax.device_put(
+                {k: np.stack([p[k] for p in prm]) for k in prm[0]}, dev
+            )
+            base_step = step
+            step = jax.jit(
+                lambda s, x, sc, a=aug: base_step(s, augment_batch(x, a), sc)
+            )
         sched = {"lr": 3e-4, "d_lr": 5e-4, "decay": 0.5,
                  "commitment_cost": 0.25, "gdl_factor": 0.0, "epoch": 0}
         xb = jax.device_put(
@@ -118,16 +152,19 @@ def main():
         t0 = time.perf_counter()
         state, metrics = step(state, xb, sched)
         print(f"[train] compile+run {time.perf_counter() - t0:.1f}s "
-              f"loss={float(metrics['Loss-MSE-Reconstruction']):.4f}")
+              f"loss={float(metrics['Loss-Reconstruction-Total']):.4f}")
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             state, metrics = step(state, xb, sched)
-        float(metrics["Loss-MSE-Reconstruction"])
+        float(metrics["Loss-Reconstruction-Total"])
         np.asarray(state.step)
         dt = (time.perf_counter() - t0) / reps
+        tag = "+adv" if adversarial else ""
+        tag += "+adaptive" if adaptive else ""
+        tag += "+devaug" if dev_aug else ""
         print(
-            f"[train] batch={batch} loss={loss}: {dt * 1e3:.0f} ms/step → "
+            f"[train{tag}] batch={batch} loss={loss}: {dt * 1e3:.0f} ms/step → "
             f"{batch / dt:.2f} volumes/s/chip"
         )
 

@@ -109,8 +109,9 @@ def main() -> None:
 
     # the PAPER block/embedding form at smoke scale: ReZero blocks +
     # learned 'absolute' spatial tables + bos_replacement conditioning,
-    # dim_head=64 so stage [4/5] exercises the FUSED decode kernel
-    # (supports_fused_decode needs dim_head∈{64,128} and dim%128==0)
+    # 2 global + 2 local heads at dim_head=64 so stage [4/5] exercises
+    # the FUSED decode kernel (supports_fused_decode needs
+    # dim_head∈{64,128}, dim%128==0, and 128-lane-aligned head groups)
     tr = dict(
         training_subjects=lat_dir,
         validation_subjects=lat_dir,
@@ -119,12 +120,12 @@ def main() -> None:
         eval_batch_size=4,
         num_workers=2,
         vocab_size=64,
-        n_embd=128,
+        n_embd=256,
         n_layers=2,
-        n_head=2,
+        n_head=4,
         dim_head=64,
         nb_features=128,
-        local_attn_heads=1,
+        local_attn_heads=2,
         local_window_size=64,
         ordering_type="hilbert",
         use_rezero=True,
