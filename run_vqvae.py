@@ -43,8 +43,8 @@ def run(
     augmentation_probability: float = 0.2,
     augmentation_strength: float = 0,
     # TPU-native extension: randomized augmentations on-device (see
-    # VQVAEConfig.device_augmentation)
-    device_augmentation: bool = True,
+    # VQVAEConfig.device_augmentation; default off on measurement)
+    device_augmentation: bool = False,
     # Loss parameters
     loss: str = "jukebox_perceptual",
     lpips_weights: Optional[str] = None,

@@ -82,12 +82,15 @@ class VQVAEConfig:
     augmentation_strength: float = 0.0
     # TPU-native extension: run the randomized augmentations (affine
     # resample + photometric ops) on-device inside the train step jit
-    # instead of single-threaded scipy on the host — the host's
-    # ~1 s/volume RandAffined starves the chip at the paper geometry
-    # (BASELINE.md host-pipeline row).  Decisions/params still come
-    # from the per-sample host rng, so the trace CSV contract holds.
-    # Applies to full-volume training only (patch mode stays on host).
-    device_augmentation: bool = True
+    # instead of scipy on the host.  Decisions/params still come from
+    # the per-sample host rng, so the trace CSV contract holds.
+    # Full-volume training only (patch mode stays on host).  Default
+    # OFF on measurement (BASELINE.md round 4): the trilinear gather
+    # lowers to an XLA scatter/gather loop that costs ~540 ms/volume
+    # on-chip — worse than 8 host workers absorbing the scipy affine
+    # at the production p=0.2.  Turn on for few-core hosts where the
+    # loader is the bottleneck despite the chip-side cost.
+    device_augmentation: bool = False
     # --- loss
     loss: str = "jukebox_perceptual"
     # pretrained LPIPS weights (.npz from tools/convert_lpips.py /

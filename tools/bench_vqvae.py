@@ -27,6 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
     from synthanatomy_tpu.cli import parse_argv
     from synthanatomy_tpu.models.vqvae import BaselineVQVAE
     from synthanatomy_tpu.train.vqvae_steps import (
@@ -127,7 +129,9 @@ def main():
             )
             base_step = step
             step = jax.jit(
-                lambda s, x, sc, a=aug: base_step(s, augment_batch(x, a), sc)
+                lambda s, x, sc, lp=None, a=aug: base_step(
+                    s, augment_batch(x, a), sc, lp
+                )
             )
         sched = {"lr": 3e-4, "d_lr": 5e-4, "decay": 0.5,
                  "commitment_cost": 0.25, "gdl_factor": 0.0, "epoch": 0}

@@ -86,10 +86,10 @@ def main() -> None:
         num_tokens=vocab + 1, max_seq_len=Lseq, dim=dim, depth=depth,
         heads=heads, dim_head=dh, local_attn_heads=lh,
         local_window_size=win, nb_features=m, dtype=jnp.bfloat16,
-        scan_chunk=chunk, use_remat=False,
+        scan_chunk=chunk, remat_attention=False,
         attn_compute_dtype=jnp.bfloat16,
-        use_pallas_local_attn=use_kernels, use_pallas_favor_attn=use_kernels,
-        use_rezero=True, spatial_position_emb=None,
+        use_pallas_local=use_kernels, use_pallas_favor=use_kernels,
+        use_rezero=True,
     )
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
