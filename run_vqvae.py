@@ -43,7 +43,8 @@ def run(
     augmentation_probability: float = 0.2,
     augmentation_strength: float = 0,
     # TPU-native extension: randomized augmentations on-device (see
-    # VQVAEConfig.device_augmentation; default off on measurement)
+    # VQVAEConfig.device_augmentation; measured chip-side free via the
+    # 3-pass shear resampler — recommended for few-core hosts)
     device_augmentation: bool = False,
     # Loss parameters
     loss: str = "jukebox_perceptual",

@@ -84,12 +84,14 @@ class VQVAEConfig:
     # resample + photometric ops) on-device inside the train step jit
     # instead of scipy on the host.  Decisions/params still come from
     # the per-sample host rng, so the trace CSV contract holds.
-    # Full-volume training only (patch mode stays on host).  Default
-    # OFF on measurement (BASELINE.md round 4): the trilinear gather
-    # lowers to an XLA scatter/gather loop that costs ~540 ms/volume
-    # on-chip — worse than 8 host workers absorbing the scipy affine
-    # at the production p=0.2.  Turn on for few-core hosts where the
-    # loader is the bottleneck despite the chip-side cost.
+    # Full-volume training only (patch mode stays on host).  Measured
+    # free on-chip via the 3-pass shear resampler (BASELINE.md round 4:
+    # 710 ms/step adversarial @ b2 with the chain fired at p=1, inside
+    # the 709–821 no-augment variance band) while tripling host-side
+    # loader throughput (0.55 → 1.99 vol/s/worker).  Default stays OFF
+    # for strict host/MONAI interpolation parity (the shear form is
+    # multi-pass linear, not scipy-bit-exact); turn ON for production
+    # few-core hosts — 2 workers then feed the chip instead of 8.
     device_augmentation: bool = False
     # --- loss
     loss: str = "jukebox_perceptual"

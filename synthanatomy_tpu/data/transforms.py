@@ -222,6 +222,18 @@ class VQVAETransform:
             return tuple(self.roi)
         return tuple(b - a for a, b in self.roi)
 
+    def affine_ranges(self) -> Dict[str, float]:
+        """RandAffined parameter ranges at this strength (the
+        AugmentationStrengthScalers formulas, vqvae.py:46-52) — shared
+        by the host path, the device param draw, and the static shift
+        bound for the 3-pass device resampler."""
+        s = self.strength
+        return {
+            "rotate_range": 0.04 + AFFINE_ROTATE_SCALE * s,
+            "translate_range": 2 + int(round(AFFINE_TRANSLATE_SCALE * s)),
+            "scale_range": 0.05 + AFFINE_SCALE_SCALE * s,
+        }
+
     def supports_device_augment(self) -> bool:
         """The device path covers the full-volume chain (RandAffined +
         photometric ops).  The patch path's flips/rot90 are cheap host
@@ -246,12 +258,7 @@ class VQVAETransform:
         affine_fired = bool(rng.random() < self.p)
         trace["RandAffined"] = affine_fired
         if affine_fired:
-            M, offset = _draw_affine(
-                rng, shape, out_shape,
-                rotate_range=0.04 + AFFINE_ROTATE_SCALE * s,
-                translate_range=2 + int(round(AFFINE_TRANSLATE_SCALE * s)),
-                scale_range=0.05 + AFFINE_SCALE_SCALE * s,
-            )
+            M, offset = _draw_affine(rng, shape, out_shape, **self.affine_ranges())
         else:
             M, offset = np.eye(3), np.zeros(3)
 
@@ -348,10 +355,8 @@ class VQVAETransform:
                 if fired:
                     x = _rand_affine(
                         x, rng,
-                        rotate_range=0.04 + AFFINE_ROTATE_SCALE * s,
-                        translate_range=2 + int(round(AFFINE_TRANSLATE_SCALE * s)),
-                        scale_range=0.05 + AFFINE_SCALE_SCALE * s,
                         spatial_size=self._roi_size(),
+                        **self.affine_ranges(),
                     )
 
             fired = bool(rng.random() < self.p)

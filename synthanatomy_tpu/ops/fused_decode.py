@@ -54,6 +54,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from synthanatomy_tpu.ops.quant import quantize_int8
 
+
+def _on_tpu_default_device() -> bool:
+    """True when traced computation will execute on TPU (honours the
+    `with jax.default_device(cpu)` host-init pattern)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
 __all__ = [
     "FusedDecodeConfig",
     "pack_fused_params",
@@ -141,6 +150,16 @@ def supports_fused_decode(model) -> bool:
     uses the general ``decode_step`` path."""
     gh = model.heads - model.local_attn_heads
     lh = model.local_attn_heads
+    # Each head group's lane width must be whole 128-lane vregs on TPU:
+    # the kernel's row-merging reshapes ((B, gh·dh) → (1, B·gh·dh) etc.)
+    # are pure vreg reindexing then; sub-vreg rows (e.g. gh=1, dh=64)
+    # would need lane shuffles Mosaic rejects ("infer-vector-layout:
+    # unsupported shape cast").  The constraint is a Mosaic *lowering*
+    # restriction — CPU interpret mode (tests) executes any shape.
+    lanes_ok = (
+        (gh * model.dim_head) % 128 == 0
+        and (lh * model.dim_head) % 128 == 0
+    ) or not _on_tpu_default_device()
     return (
         model.causal
         and not model.generalized_attention
@@ -154,13 +173,7 @@ def supports_fused_decode(model) -> bool:
         and model.dim_head in (64, 128)
         and (model.dim * model.ff_mult) % 128 == 0
         and model.dim % 128 == 0
-        # each head group's lane width must be whole 128-lane vregs:
-        # the kernel's row-merging reshapes ((B, gh·dh) → (1, B·gh·dh)
-        # etc.) are pure vreg reindexing then; sub-vreg rows (e.g.
-        # gh=1, dh=64) would need lane shuffles Mosaic rejects
-        # ("infer-vector-layout: unsupported shape cast")
-        and (gh * model.dim_head) % 128 == 0
-        and (lh * model.dim_head) % 128 == 0
+        and lanes_ok
     )
 
 

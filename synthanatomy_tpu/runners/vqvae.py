@@ -273,6 +273,20 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
     mesh = make_data_mesh_for_batch(config.batch_size, config.mesh_shape)
 
     device_aug = getattr(loaders["train"].dataset, "device_augment", False)
+    aug_shifts = None
+    if device_aug:
+        from synthanatomy_tpu.ops.augment import shear_shift_bounds
+
+        ranges = loaders["train"].dataset.transform.affine_ranges()
+        if ranges["rotate_range"] < 0.5:
+            # TPU-fast 3-pass resampler: static shift bounds cover the
+            # whole parameter box (BASELINE.md round 4 — the trilinear
+            # gather lowers to a serial loop on TPU)
+            aug_shifts = shear_shift_bounds(input_shape, **ranges)
+            logger.info(f"device augment: 3-pass resampler, shifts {aug_shifts}")
+        else:
+            logger.info("device augment: exact-gather resampler "
+                        "(rotation range too large for the 3-pass form)")
 
     def build_step(train_generator: bool):
         fun = make_vqvae_train_step(
@@ -296,7 +310,10 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                 # augment inside the same jit as the step: one device
                 # dispatch, and XLA fuses the photometric tail into the
                 # first encoder conv's input read
-                return base(state, augment_batch(batch, aug), sched, lpips_params)
+                return base(
+                    state, augment_batch(batch, aug, aug_shifts), sched,
+                    lpips_params,
+                )
 
         return jax.jit(fun, donate_argnums=0 if config.donate_state else ())
 

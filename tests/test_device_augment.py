@@ -71,6 +71,102 @@ def test_device_chain_matches_host_recomputation():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def _smooth_volume(shape, seed=0):
+    """Low-frequency test volume: multi-pass resampling differences are
+    interpolation-order effects, visible on noise but tiny on smooth
+    data (the regime brain MRI lives in)."""
+    rng = np.random.default_rng(seed)
+    d, h, w = shape
+    ii, jj, kk = np.meshgrid(
+        np.linspace(0, 2 * np.pi, d), np.linspace(0, 2 * np.pi, h),
+        np.linspace(0, 2 * np.pi, w), indexing="ij",
+    )
+    a, b, c = rng.uniform(0.5, 1.5, 3)
+    vol = 0.5 + 0.25 * np.sin(a * ii) * np.cos(b * jj) + 0.25 * np.sin(c * kk)
+    return vol.astype(np.float32)
+
+
+def test_shear_resample_matches_trilinear_interior():
+    """The 3-pass resampler must agree with the exact trilinear gather
+    on the interior of a smooth volume for small (augmentation-scale)
+    affines."""
+    from synthanatomy_tpu.ops.augment import (
+        affine_resample_shear,
+        shear_shift_bounds,
+    )
+
+    shape = (24, 28, 20)
+    x = _smooth_volume(shape)
+    ranges = dict(rotate_range=0.08, translate_range=2.0, scale_range=0.06)
+    shifts = shear_shift_bounds(shape, **ranges)
+    for seed in range(4):
+        M, off = _draw_affine(
+            np.random.default_rng(seed), shape, shape, **ranges
+        )
+        M32, off32 = M.astype(np.float32), off.astype(np.float32)
+        exact = np.asarray(affine_resample(x, M32, off32))
+        fast = np.asarray(affine_resample_shear(x, M32, off32, shifts))
+        # interior region (edges differ by design: per-pass vs single
+        # domain test)
+        sl = tuple(slice(4, -4) for _ in range(3))
+        err = np.abs(fast[sl] - exact[sl]).max()
+        assert err < 2e-2, (seed, err)
+        # and the bulk agrees tightly
+        assert np.abs(fast[sl] - exact[sl]).mean() < 2e-3
+
+
+def test_shear_shift_bounds_cover_extreme_draws():
+    """The static bound must cover the integer shifts of every pass for
+    parameters drawn at the extremes (otherwise edge voxels clip)."""
+    from synthanatomy_tpu.ops.augment import (
+        _pass_coeffs,
+        shear_shift_bounds,
+    )
+
+    shape = (32, 40, 28)
+    ranges = dict(rotate_range=0.44, translate_range=4.0, scale_range=0.07)
+    shifts = shear_shift_bounds(shape, **ranges)
+    rng_all = np.random.default_rng(0)
+    for _ in range(50):
+        M, off = _draw_affine(rng_all, shape, shape, **ranges)
+        p0, p1, p2 = _pass_coeffs(
+            np.asarray(M, np.float32), np.asarray(off, np.float32)
+        )
+        exts = tuple(np.asarray(shape) - 1)
+        for axis, co in enumerate((p0, p1, p2)):
+            ai, aj, ak, c = (float(v) for v in co)
+            own = (ai, aj, ak)[axis]
+            others = [v for n, v in enumerate((ai, aj, ak)) if n != axis]
+            oexts = [e for n, e in enumerate(exts) if n != axis]
+            # |position - own coord| is linear over the coordinate box →
+            # its extreme is at a corner
+            corners = [
+                abs((own - 1.0) * e0 + others[0] * e1 + others[1] * e2 + c)
+                for e0 in (0, exts[axis])
+                for e1 in (0, oexts[0])
+                for e2 in (0, oexts[1])
+            ]
+            assert max(corners) <= shifts[axis], (axis, max(corners), shifts)
+
+
+def test_augment_batch_shear_mode_end_to_end():
+    tf = VQVAETransform(
+        augment=True, augmentation_probability=1.0, normalize=False
+    )
+    from synthanatomy_tpu.ops.augment import shear_shift_bounds
+
+    shape = (16, 16, 16)
+    x = _smooth_volume(shape, seed=3)
+    params, _ = tf.draw_device_params(shape, np.random.default_rng(5))
+    shifts = shear_shift_bounds(shape, **tf.affine_ranges())
+    batched = {k: v[None] for k, v in params.items()}
+    fast = np.asarray(augment_batch(x[None, ..., None], batched, shifts))
+    exact = np.asarray(augment_batch(x[None, ..., None], batched))
+    assert fast.shape == exact.shape
+    sl = (0, slice(3, -3), slice(3, -3), slice(3, -3), 0)
+    np.testing.assert_allclose(fast[sl], exact[sl], atol=3e-2)
+
+
 def test_draw_device_params_trace_matches_host_stream():
     """Same rng state → identical fire decisions as the host path, and
     when nothing fires the rng streams stay aligned end-to-end."""
@@ -122,3 +218,47 @@ def test_dataset_ships_params_and_loader_collates(tmp_path):
     assert out.min() >= 0.0 and out.max() <= 1.0
     # the host volume is pre-augment: the device output must differ
     assert not np.allclose(out, np.clip(batch["MRI"], 0, 1))
+
+
+def test_runner_training_with_device_augmentation(tmp_path, monkeypatch):
+    """run_vqvae training with device_augmentation=True goes through the
+    shear-path selection in the runner (production ranges are well under
+    the 0.5 rad gate) and trains to a finite loss."""
+    from run_vqvae import run as run_vqvae
+    from synthanatomy_tpu.data.nifti import save_nifti
+    from synthanatomy_tpu.ops import augment as aug_mod
+
+    picked = []
+    real_bounds = aug_mod.shear_shift_bounds
+
+    def spy(shape, **kw):
+        out = real_bounds(shape, **kw)
+        picked.append(out)
+        return out
+
+    monkeypatch.setattr(aug_mod, "shear_shift_bounds", spy)
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        save_nifti(
+            str(data / f"s{i}.nii.gz"),
+            rng.uniform(size=(24, 24, 24)).astype(np.float32),
+        )
+    result = run_vqvae(
+        mode="training", training_subjects=str(data),
+        validation_subjects=str(data), project_directory=str(tmp_path),
+        experiment_name="devaug", epochs=1, batch_size=2,
+        eval_batch_size=2, eval_every=1, checkpoint_every=1,
+        num_workers=0, loss="mse", augmentation_probability=1.0,
+        device_augmentation=True, no_levels=2,
+        downsample_parameters=((4, 2, 1, 1), (4, 2, 1, 1)),
+        upsample_parameters=((4, 2, 1, 0, 1), (4, 2, 1, 0, 1)),
+        no_channels=8, no_res_layers=1, num_embeddings=(16,),
+        embedding_dim=(4,), decay=(0.5,), gamma=0.999,
+        compute_dtype="float32", use_pallas_vq=False, seed=7,
+    )
+    assert np.isfinite(result["history"][-1]["Loss-Reconstruction-Total"])
+    # the shear path was selected and its bound computed for the volume
+    assert picked and all(all(s > 0 for s in b) for b in picked)

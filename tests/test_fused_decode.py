@@ -212,8 +212,6 @@ def test_supports_fused_decode_gating():
         dict(use_scalenorm=True),
         dict(ff_glu=True),
         dict(local_attn_heads=4),  # gh == 0
-        dict(local_attn_heads=1),  # lh·dh = 64: sub-vreg head group
-        dict(local_attn_heads=3),  # gh·dh = 64: sub-vreg head group
         dict(rotary_position_emb=True),
     ):
         base = dict(num_tokens=9, max_seq_len=8, dim=256, depth=1,
@@ -221,6 +219,26 @@ def test_supports_fused_decode_gating():
                     dtype=jnp.bfloat16)
         base.update(kw)
         assert not supports_fused_decode(Performer(**base)), kw
+
+
+def test_supports_fused_decode_lane_gate_tpu_only(monkeypatch):
+    """Sub-vreg head groups (gh·dh or lh·dh not a multiple of 128) crash
+    Mosaic's shape-cast lowering on real TPU but execute fine in CPU
+    interpret mode — the gate must reject them only when the kernel will
+    lower through Mosaic (found by the round-4 on-chip smoke)."""
+    from synthanatomy_tpu.ops import fused_decode as fd
+
+    base = dict(num_tokens=9, max_seq_len=8, dim=256, depth=1,
+                heads=4, dim_head=64, dtype=jnp.bfloat16)
+    for lh in (1, 3):  # lh·dh = 64 / gh·dh = 64: sub-vreg head groups
+        model = Performer(local_attn_heads=lh, **base)
+        monkeypatch.setattr(fd, "_on_tpu_default_device", lambda: True)
+        assert not supports_fused_decode(model), lh
+        monkeypatch.setattr(fd, "_on_tpu_default_device", lambda: False)
+        assert supports_fused_decode(model), lh
+    # aligned groups pass regardless of backend
+    monkeypatch.setattr(fd, "_on_tpu_default_device", lambda: True)
+    assert supports_fused_decode(Performer(local_attn_heads=2, **base))
 
 
 def test_kernel_interpret_matches_ref_int8_rings(setup, token_seq):

@@ -117,7 +117,10 @@ def main():
         )
         if dev_aug:
             from synthanatomy_tpu.data.transforms import VQVAETransform
-            from synthanatomy_tpu.ops.augment import augment_batch
+            from synthanatomy_tpu.ops.augment import (
+                augment_batch,
+                shear_shift_bounds,
+            )
 
             tf = VQVAETransform(augment=True, augmentation_probability=1.0)
             prm = [
@@ -127,10 +130,17 @@ def main():
             aug = jax.device_put(
                 {k: np.stack([p[k] for p in prm]) for k in prm[0]}, dev
             )
+            # 3-pass resampler unless --gather_augment (the slow exact
+            # path, kept for ablation)
+            shifts = (
+                None if kw.get("gather_augment")
+                else shear_shift_bounds(shape, **tf.affine_ranges())
+            )
+            print(f"[augment] resampler shifts: {shifts}")
             base_step = step
             step = jax.jit(
                 lambda s, x, sc, lp=None, a=aug: base_step(
-                    s, augment_batch(x, a), sc, lp
+                    s, augment_batch(x, a, shifts), sc, lp
                 )
             )
         sched = {"lr": 3e-4, "d_lr": 5e-4, "decay": 0.5,
