@@ -119,6 +119,81 @@ def _conv_transpose_s2k4p1(x, kernel, bias):
     return out
 
 
+def _conv_transpose_s2k4p1_thin(x, kernel, bias):
+    """k4/s2/p1 transposed conv for THIN output channels (Co ≤ 8) as a
+    taps×phases-packed matmul.
+
+    XLA's dilated-conv lowering of a Co=1 transposed conv cannot tile
+    the MXU lane dimension (1 output column) and measures ~0.1 TFLOP/s
+    on v5e — the paper decoder's final 128→1 layer alone was 84% of the
+    whole decode program (BASELINE.md round 4).  Packing the 2³ input
+    taps × 2³ output phases × Co into the matmul's column dimension
+    gives 64·Co columns at the SAME total MAC count (every G element
+    below is consumed exactly once), then 8 shifted slice-adds per
+    phase combine the taps (streaming VPU work) and a depth-to-space
+    interleave lays out the output.
+
+    Derivation (per axis, W' = flip(W)):
+      out[2u + r] = Σ_{a∈{0,1}} xpad[u + r + a] · W'[2a + r]
+    with xpad zero-padded by 1 — the same identity as
+    ``_conv_transpose_s2k4p1`` above, with the (a, r) pair moved from
+    conv taps into matmul columns.
+    """
+    n, d1, d2, d3, ci = x.shape
+    co = kernel.shape[-1]
+    wf = jnp.flip(kernel, axis=(0, 1, 2))  # (4,4,4,Ci,Co)
+
+    cols = []
+    for a1 in (0, 1):
+        for a2 in (0, 1):
+            for a3 in (0, 1):
+                for r1 in (0, 1):
+                    for r2 in (0, 1):
+                        for r3 in (0, 1):
+                            cols.append(
+                                wf[2 * a1 + r1, 2 * a2 + r2, 2 * a3 + r3]
+                            )  # (Ci, Co)
+    w2 = jnp.concatenate(cols, axis=-1)  # (Ci, 64·Co)
+
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    g = xpad @ w2  # (n, d1+2, d2+2, d3+2, 64·Co)
+
+    parts = []
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            for r3 in (0, 1):
+                acc = None
+                for a1 in (0, 1):
+                    for a2 in (0, 1):
+                        for a3 in (0, 1):
+                            a_idx = (a1 * 2 + a2) * 2 + a3
+                            r_idx = (r1 * 2 + r2) * 2 + r3
+                            c0 = (a_idx * 8 + r_idx) * co
+                            sl = g[
+                                :,
+                                r1 + a1 : r1 + a1 + d1,
+                                r2 + a2 : r2 + a2 + d2,
+                                r3 + a3 : r3 + a3 + d3,
+                                c0 : c0 + co,
+                            ]
+                            acc = sl if acc is None else acc + sl
+                parts.append(acc)
+    z = jnp.stack(parts, axis=4)  # (n, d1, d2, d3, 8, Co), p = r1r2r3
+    z = z.reshape(n, d1, d2, d3, 2, 2, 2, co)
+    z = z.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    out = z.reshape(n, 2 * d1, 2 * d2, 2 * d3, co)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+# Co threshold for the thin-output matmul path: at Co·64 ≤ 512 columns
+# the packed matmul stays one-to-few lane tiles and G's HBM footprint
+# is modest; at large Co the standard dilated-conv lowering tiles the
+# MXU fine on its own (and G would blow up HBM traffic 8×).
+THIN_CONV_TRANSPOSE_MAX_CO = 8
+
+
 def conv_transpose3d(
     x: jax.Array,
     kernel: jax.Array,
@@ -141,14 +216,16 @@ def conv_transpose3d(
     op = _triple(output_padding)
     k = kernel.shape[:3]
 
-    if (
-        PHASE_DECOMP_TRANSPOSED_CONV
-        and k == (4, 4, 4)
+    k4s2p1 = (
+        k == (4, 4, 4)
         and s == (2, 2, 2)
         and p == (1, 1, 1)
         and op == (0, 0, 0)
         and d == (1, 1, 1)
-    ):
+    )
+    if k4s2p1 and kernel.shape[-1] <= THIN_CONV_TRANSPOSE_MAX_CO:
+        return _conv_transpose_s2k4p1_thin(x, kernel.astype(x.dtype), bias)
+    if PHASE_DECOMP_TRANSPOSED_CONV and k4s2p1:
         return _conv_transpose_s2k4p1(x, kernel.astype(x.dtype), bias)
     # torch: out = (in-1)s - 2p + d(k-1) + 1 + op
     pads = []

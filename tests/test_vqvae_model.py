@@ -174,7 +174,7 @@ def test_discriminator_patch_output():
     assert logits_eval.shape == (2, 2, 2, 2, 1)
 
 
-def test_conv_transpose_phase_decomposition_exact():
+def test_conv_transpose_phase_decomposition_exact(monkeypatch):
     """The phase-decomposition fast path must be bit-for-bit equivalent
     to the generic dilated-conv path for (k=4, s=2, p=1)."""
     from synthanatomy_tpu.ops import conv3d as C
@@ -183,6 +183,44 @@ def test_conv_transpose_phase_decomposition_exact():
     x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(4, 4, 4, 3, 2)).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    # force the generic dilated-conv lowering as the oracle (Co=2 would
+    # otherwise route to the thin-output matmul path)
+    monkeypatch.setattr(C, "THIN_CONV_TRANSPOSE_MAX_CO", 0)
     generic = C.conv_transpose3d(x, w, stride=2, padding=1, bias=b)
     fast = C._conv_transpose_s2k4p1(x, w, b)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(generic), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose_thin_output_path_exact(monkeypatch):
+    """The taps×phases-packed matmul path (Co ≤ 8 — the paper decoder's
+    final 128→1 layer) must match the generic dilated-conv path, in
+    values AND in gradients (it runs inside the train step)."""
+    from synthanatomy_tpu.ops import conv3d as C
+
+    rng = np.random.default_rng(8)
+    for ci, co, shape in ((16, 1, (2, 5, 6, 7)), (3, 2, (1, 4, 3, 5))):
+        x = jnp.asarray(rng.normal(size=shape + (ci,)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(4, 4, 4, ci, co)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        thin = C._conv_transpose_s2k4p1_thin(x, w, b)
+        monkeypatch.setattr(C, "THIN_CONV_TRANSPOSE_MAX_CO", 0)
+        generic = C.conv_transpose3d(x, w, stride=2, padding=1, bias=b)
+        monkeypatch.setattr(C, "THIN_CONV_TRANSPOSE_MAX_CO", 8)
+        np.testing.assert_allclose(
+            np.asarray(thin), np.asarray(generic), rtol=1e-5, atol=1e-5
+        )
+        # and the public API routes through it with identical grads
+        def loss_pub(w):
+            return jnp.sum(
+                C.conv_transpose3d(x, w, stride=2, padding=1, bias=b) ** 2
+            )
+
+        g_thin = jax.grad(loss_pub)(w)
+        monkeypatch.setattr(C, "THIN_CONV_TRANSPOSE_MAX_CO", 0)
+        g_gen = jax.grad(loss_pub)(w)
+        monkeypatch.setattr(C, "THIN_CONV_TRANSPOSE_MAX_CO", 8)
+        np.testing.assert_allclose(
+            np.asarray(g_thin), np.asarray(g_gen), rtol=1e-4, atol=1e-4
+        )

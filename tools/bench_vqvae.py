@@ -73,7 +73,13 @@ def main():
         @jax.jit
         def roundtrip(variables, x):
             idx = model.apply(variables, x, method=model.index_quantize)
-            return idx[0], model.apply(variables, idx, method=model.decode_samples)
+            out = model.apply(variables, idx, method=model.decode_samples)
+            # consume the volume ON DEVICE: the axon tunnel transfers
+            # large outputs to host at ~0.01 GB/s, so np.asarray on the
+            # 11.5 MB volume would dominate the timing (round-4 finding;
+            # real TPU hosts move GB/s over PCIe, so device rate is the
+            # honest throughput number)
+            return idx[0], jnp.sum(out.astype(jnp.float32))
 
         x = jax.device_put(
             np.random.default_rng(0).uniform(size=(1,) + shape + (1,)).astype(np.float32),
