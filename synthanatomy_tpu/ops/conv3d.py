@@ -42,6 +42,69 @@ def _triple(v: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
     return t
 
 
+# Cin threshold for the thin-input space-to-depth path (OFF by
+# default, measured): re-blocking 2×2×2 input cells into channels
+# turns a Cin=1 k4s2 conv into a dense k2 conv with an 8·Cin-channel
+# input.  Isolated-op timings suggested the stock lowering was ~30×
+# off ideal, but those were dominated by the tunnel's ~3 ms dispatch
+# floor (CLAUDE.md); at the MODEL level the path measured NO win
+# (extract+decode 51.4 vs 48.8 ms/vol, inside variance — BASELINE.md
+# round 4), so the simple lowering stays.  Unlike the Cout=1
+# transposed conv above, XLA handles thin INPUTS acceptably (taps go
+# into the contraction dimension on its own).
+THIN_CONV_MAX_CI = 0
+
+
+def _conv_s2k4p1_thin_input(x, kernel, bias):
+    """k4/s2/p1 conv for THIN input channels (Cin ≤ 2) via
+    space-to-depth: pad so taps align to 2³ cells, fold each cell's
+    2×2×2 phases into channels, then one dense k2/s1 VALID conv.
+
+    Derivation (per axis): out[u] = Σ_t x[2u + t − 1]·w[t]
+    = Σ_t xpad[2u + t]·w[t] with xpad = pad(x, (1, 2)).  Writing
+    t = 2a + φ (cell offset a ∈ {0,1}, phase φ ∈ {0,1}): the tap lives
+    in cell u + a at phase φ, so after space-to-depth the kernel
+    regroups as w2[a][φ·Cin + c] = w[2a + φ][c]."""
+    n, d1, d2, d3, ci = x.shape
+    co = kernel.shape[-1]
+    # pad 1 at the front (the p=1 halo); pad the back so the padded
+    # length is even (2-cell tiling) and covers the last window
+    pr = [3 - (d % 2) for d in (d1, d2, d3)]
+    xpad = jnp.pad(
+        x, ((0, 0), (1, pr[0]), (1, pr[1]), (1, pr[2]), (0, 0))
+    )
+    c1, c2, c3 = [(d + 1 + p_) // 2 for d, p_ in zip((d1, d2, d3), pr)]
+    xs = xpad.reshape(n, c1, 2, c2, 2, c3, 2, ci)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    xs = xs.reshape(n, c1, c2, c3, 8 * ci)  # phase-major (φ1,φ2,φ3,ci)
+
+    # kernel (4,4,4,Ci,Co) → (2,2,2, 8·Ci, Co): phase-parity slices of
+    # the taps, concatenated phase-major to match xs's channel order
+    k2 = jnp.concatenate(
+        [
+            kernel[f1::2, f2::2, f3::2]
+            for f1 in (0, 1)
+            for f2 in (0, 1)
+            for f3 in (0, 1)
+        ],
+        axis=3,
+    )  # (2,2,2, 8·Ci, Co), tap index a on the spatial dims
+    out = lax.conv_general_dilated(
+        xs,
+        k2.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=_DN,
+    )
+    # VALID k2 over the cell grid gives (c-1) positions; crop to the
+    # torch output size floor((d + 2p − k)/s) + 1 = floor((d−2)/2) + 1
+    oshape = tuple((d - 2) // 2 + 1 for d in (d1, d2, d3))
+    out = out[:, : oshape[0], : oshape[1], : oshape[2]]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def conv3d(
     x: jax.Array,
     kernel: jax.Array,
@@ -53,6 +116,14 @@ def conv3d(
 ) -> jax.Array:
     """x: (N, D, H, W, Cin); kernel: (kD, kH, kW, Cin, Cout)."""
     s, p, d = _triple(stride), _triple(padding), _triple(dilation)
+    if (
+        kernel.shape[3] <= THIN_CONV_MAX_CI
+        and kernel.shape[:3] == (4, 4, 4)
+        and s == (2, 2, 2)
+        and p == (1, 1, 1)
+        and d == (1, 1, 1)
+    ):
+        return _conv_s2k4p1_thin_input(x, kernel.astype(x.dtype), bias)
     out = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),

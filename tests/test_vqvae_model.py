@@ -224,3 +224,42 @@ def test_conv_transpose_thin_output_path_exact(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g_thin), np.asarray(g_gen), rtol=1e-4, atol=1e-4
         )
+
+
+def test_conv_thin_input_path_exact(monkeypatch):
+    """The space-to-depth path for thin-INPUT k4/s2/p1 convs (the
+    encoder's and discriminator's 1-channel first layers; available
+    but default-off — no model-level win, BASELINE.md r4) must match
+    the generic lowering in values and gradients, on even and odd
+    spatial dims."""
+    from synthanatomy_tpu.ops import conv3d as C
+
+    rng = np.random.default_rng(9)
+    for ci, co, shape in (
+        (1, 8, (2, 8, 6, 10)),
+        (1, 5, (1, 7, 9, 5)),
+        (2, 4, (1, 6, 7, 8)),
+    ):
+        x = jnp.asarray(rng.normal(size=shape + (ci,)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(4, 4, 4, ci, co)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        thin = C._conv_s2k4p1_thin_input(x, w, b)
+        generic = C.conv3d(x, w, stride=2, padding=1, bias=b)
+        assert thin.shape == generic.shape, (thin.shape, generic.shape)
+        np.testing.assert_allclose(
+            np.asarray(thin), np.asarray(generic), rtol=1e-5, atol=1e-5
+        )
+
+        # gradients, with the path forced on through the public API
+        def loss_pub(w):
+            return jnp.sum(C.conv3d(x, w, stride=2, padding=1, bias=b) ** 2)
+
+        monkeypatch.setattr(C, "THIN_CONV_MAX_CI", 2)
+        g_thin = jax.grad(loss_pub)(w)
+        monkeypatch.setattr(C, "THIN_CONV_MAX_CI", 0)
+        g_gen = jax.grad(loss_pub)(w)
+        np.testing.assert_allclose(
+            np.asarray(g_thin), np.asarray(g_gen), rtol=1e-4, atol=1e-4
+        )
