@@ -140,20 +140,25 @@ def _fwd_kernel(*refs, nl: int):
     v2 = jnp.concatenate([r[:, 0] for r in v_refs], axis=1)
     d = q_ref.shape[3]
 
+    # VPU economy (probe_kernel_body.py, −7% body): fold the score
+    # scale into q — one (bt, s, d) pass replaces a (bt, s, span) one —
+    # and defer the softmax normalization past the PV matmul, dividing
+    # the (bt, s, d) output instead of the (bt, s, span) prob tile.
+    q = (q.astype(jnp.float32) * (d**-0.5)).astype(cd)
     scores = jax.lax.dot_general(
         q, k2,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * (d**-0.5) + bias_ref[0][None]  # (bt, s, span) fp32, masked
+    ) + bias_ref[0][None]  # (bt, s, span) fp32, masked
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = _EXP(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[:, 0] = jax.lax.dot_general(
-        probs.astype(cd), v2,
+    e = _EXP(scores - m)  # unnormalized, in [0, 1]
+    o = jax.lax.dot_general(
+        e.astype(cd), v2,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[:, 0] = (o / jnp.sum(e, axis=-1, keepdims=True)).astype(o_ref.dtype)
 
 
 def _bwd_kernel(*refs, nl: int):
@@ -307,14 +312,20 @@ def _backward(q, k, v, g, bias, window: int, block_size, interpret: bool):
         in_specs=[cur] + ks + ks + [cur, bspec],
         out_specs=[cur, d2, d2],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, nblk, s, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nblk, span, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nblk, span, d), jnp.float32),
+            # gradients leave the kernel in compute dtype (probe: the
+            # bwd body is output-write bound; bf16 outputs are −9% and
+            # halve the fold's read traffic).  The public API returns
+            # q.dtype/k.dtype gradients either way — only the rounding
+            # point moves (per-contribution instead of post-fold).
+            jax.ShapeDtypeStruct((bh, nblk, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nblk, span, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nblk, span, d), q.dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * bh * nblk * s * span * d,
-            bytes_accessed=(6 + 2 * nl + 2 * (nl + 1)) * bh * nblk * s * d * 4,
+            bytes_accessed=(6 + 2 * nl + 2 * (nl + 1))
+            * bh * nblk * s * d * q.dtype.itemsize,
             transcendentals=bh * nblk * s * span,
         ),
     )(qf, *([kf] * (nl + 1)), *([vf] * (nl + 1)), gf, bias)
@@ -322,12 +333,13 @@ def _backward(q, k, v, g, bias, window: int, block_size, interpret: bool):
     def fold(dx2):
         # query block t's column group g carries gradients for block
         # t - (nl-g); pre-sequence wrap contributions are exactly zero
-        # because those scores are masked (dS == 0)
-        folded = dx2[:, :, nl * s :]
+        # because those scores are masked (dS == 0).  Accumulate the
+        # nl+1 contributions in fp32 regardless of the storage dtype.
+        folded = dx2[:, :, nl * s :].astype(jnp.float32)
         for g_idx in range(nl):
             folded = folded + jnp.roll(
                 dx2[:, :, g_idx * s : (g_idx + 1) * s], -(nl - g_idx), axis=1
-            )
+            ).astype(jnp.float32)
         return folded.reshape(b, h, nblk * s, d)[:, :, :n]
 
     dqo = dq.reshape(b, h, nblk * s, d)[:, :, :n]
