@@ -48,6 +48,16 @@ def main() -> None:
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--pallas-local", action="store_true")
     p.add_argument("--pallas-favor", action="store_true")
+    p.add_argument(
+        "--splash-local", action="store_true",
+        help="swap the local heads onto JAX's stock splash-attention "
+        "TPU kernel (ops/local_attention_splash.py) — the external "
+        "yardstick for the first-party banded kernels",
+    )
+    p.add_argument("--splash-block", type=int, default=256,
+                   help="splash block_q=block_kv (padded seq rounds up)")
+    p.add_argument("--splash-fused-bwd", action="store_true",
+                   help="use splash's fused dq/dkv backward kernel")
     p.add_argument("--reversible", action="store_true")
     p.add_argument("--use-rezero", action="store_true",
                    help="paper block form (reference README.md:140)")
@@ -81,6 +91,29 @@ def main() -> None:
         create_transformer_train_state,
         make_transformer_train_step,
     )
+
+    if args.splash_local:
+        # ablation hook: route the `use_pallas_local` call site onto the
+        # stock splash kernel so everything else in the step is held
+        # fixed (the point of the cross-benchmark — VERDICT r4 #1)
+        import functools
+
+        import synthanatomy_tpu.models.performer as perf_mod
+        from synthanatomy_tpu.ops.local_attention_splash import (
+            local_attention_splash,
+        )
+
+        perf_mod.local_attention_flash = functools.partial(
+            local_attention_splash,
+            block_q=args.splash_block,
+            block_kv=args.splash_block,
+            use_fused_bwd=args.splash_fused_bwd,
+        )
+        args.pallas_local = True
+        print(
+            f"local heads -> stock splash kernel "
+            f"(block={args.splash_block}, fused_bwd={args.splash_fused_bwd})"
+        )
 
     L = args.seq + 1  # +BOS
     sp_grid = sp_ordering = None
