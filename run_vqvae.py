@@ -115,6 +115,7 @@ def run(
     use_pallas_vq: bool = True,
     use_remat: bool = True,
     zero1: bool = False,
+    grouped_stat_bn: bool = False,
 ):
     """Build the typed config and dispatch on ``mode``.  See
     VQVAEConfig for flag documentation (mirrors the reference's

@@ -166,6 +166,9 @@ class VQVAEConfig:
     use_pallas_vq: bool = True
     use_remat: bool = True
     donate_state: bool = True
+    # one-pass D(fake)+D(real) update with per-half BatchNorm statistics
+    # (SplitBatchNorm) — exact two-pass semantics, fewer conv dispatches
+    grouped_stat_bn: bool = False
     # ZeRO-1: shard the Adam moments over the data axis (memory lever
     # for many-chip DP; pure placement annotation under GSPMD)
     zero1: bool = False

@@ -251,7 +251,10 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
 
     model = build_vqvae(config)
     d_model = (
-        BaselineDiscriminator(dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32)
+        BaselineDiscriminator(
+            dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+            use_split_bn=config.grouped_stat_bn,
+        )
         if config.adversarial_component
         else None
     )
@@ -300,6 +303,7 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
             adaptive_threshold=config.adaptive_adversarial_weight_threshold,
             adaptive_value=config.adaptive_adversarial_weight_value,
             train_generator=train_generator,
+            d_grouped_stats=config.grouped_stat_bn,
         )
         if device_aug:
             from synthanatomy_tpu.ops.augment import augment_batch

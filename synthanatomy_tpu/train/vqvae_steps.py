@@ -135,6 +135,7 @@ def make_vqvae_train_step(
     adaptive_threshold: int = 0,
     adaptive_value: float = 1.0,
     train_generator: bool = True,
+    d_grouped_stats: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -268,13 +269,25 @@ def make_vqvae_train_step(
 
             def d_loss_fn(d_params):
                 dv = {"params": d_params, "batch_stats": state.d_batch_stats}
-                logits_fake, m1 = d_model.apply(
-                    dv, fake, training=True, mutable=["batch_stats"]
-                )
-                logits_real, m2 = d_model.apply(
-                    {"params": d_params, "batch_stats": m1["batch_stats"]},
-                    x.astype(jnp.float32), training=True, mutable=["batch_stats"],
-                )
+                if d_grouped_stats:
+                    # one conv pass over [fake; real] with per-half BN
+                    # statistics (SplitBatchNorm) — exact two-pass
+                    # semantics, half the D-update conv dispatches
+                    both = jnp.concatenate([fake, x.astype(jnp.float32)], 0)
+                    logits, m2 = d_model.apply(
+                        dv, both, training=True, stat_groups=2,
+                        mutable=["batch_stats"],
+                    )
+                    logits_fake, logits_real = jnp.split(logits, 2, axis=0)
+                else:
+                    logits_fake, m1 = d_model.apply(
+                        dv, fake, training=True, mutable=["batch_stats"]
+                    )
+                    logits_real, m2 = d_model.apply(
+                        {"params": d_params, "batch_stats": m1["batch_stats"]},
+                        x.astype(jnp.float32), training=True,
+                        mutable=["batch_stats"],
+                    )
                 dl, dsum = discriminator_loss(
                     logits_fake, logits_real,
                     criterion=discriminator_criterion, weight=adversarial_weight,

@@ -79,6 +79,117 @@ def test_vqvae_train_step_adversarial():
     assert any(jax.tree.leaves(changed))
 
 
+def test_split_batchnorm_groups1_matches_flax_batchnorm():
+    """SplitBatchNorm with groups=1 must reproduce nn.BatchNorm (train
+    normalization + running-stat update and eval path)."""
+    import flax.linen as nn
+
+    from synthanatomy_tpu.models.discriminator import SplitBatchNorm
+
+    x = jax.random.normal(jax.random.key(0), (4, 5, 5, 5, 6), jnp.float32)
+    ref = nn.BatchNorm(
+        use_running_average=False, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    got = SplitBatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+    vr = ref.init(jax.random.key(1), x)
+    vg = got.init(jax.random.key(1), x, training=True)
+    # share identical params/stats
+    vg = {"params": vr["params"], "batch_stats": vr["batch_stats"]}
+    yr, mr = ref.apply(vr, x, mutable=["batch_stats"])
+    yg, mg = got.apply(vg, x, training=True, groups=1, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yg), np.asarray(yr), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mg["batch_stats"][k]),
+            np.asarray(mr["batch_stats"][k]), atol=1e-6,
+        )
+    # eval path
+    ref_eval = nn.BatchNorm(
+        use_running_average=True, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    ye = ref_eval.apply(
+        {"params": vr["params"], "batch_stats": mr["batch_stats"]}, x
+    )
+    yge = got.apply(
+        {"params": vr["params"], "batch_stats": mg["batch_stats"]},
+        x, training=False,
+    )
+    np.testing.assert_allclose(np.asarray(yge), np.asarray(ye), atol=1e-5)
+
+
+def test_discriminator_grouped_stats_matches_two_pass():
+    """One concatenated fake+real pass with stat_groups=2 must equal the
+    two sequential train-mode forwards exactly (logits and the final
+    running statistics) — the reference's per-forward BatchNorm
+    semantics (trainer.py:219-256) preserved in one conv pass."""
+    d = BaselineDiscriminator(
+        ndf=4, n_layers=2, dtype=jnp.float32, use_split_bn=True
+    )
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 16, 1))
+    fake = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+    variables = d.init(jax.random.key(2), x, training=True)
+
+    lf, m1 = d.apply(variables, fake, training=True, mutable=["batch_stats"])
+    lr_, m2 = d.apply(
+        {"params": variables["params"], "batch_stats": m1["batch_stats"]},
+        x, training=True, mutable=["batch_stats"],
+    )
+    both, mg = d.apply(
+        variables, jnp.concatenate([fake, x], 0), training=True,
+        stat_groups=2, mutable=["batch_stats"],
+    )
+    gf, gr = jnp.split(both, 2, axis=0)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(lf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(lr_), atol=2e-6)
+    ref_leaves = jax.tree.leaves(m2["batch_stats"])
+    got_leaves = jax.tree.leaves(mg["batch_stats"])
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_vqvae_train_step_grouped_bn_matches_two_pass():
+    """The full adversarial step with d_grouped_stats=True must produce
+    the same D update as the two-pass step (both built on
+    SplitBatchNorm so the only difference is the batching)."""
+    model = _small_vqvae()
+    d_model = BaselineDiscriminator(
+        ndf=4, n_layers=2, dtype=jnp.float32, use_split_bn=True
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 16, 1))
+
+    def run(grouped):
+        state, g_tx, d_tx = create_vqvae_train_state(
+            model, jax.random.key(0), (16, 16, 16), d_model=d_model
+        )
+        step = jax.jit(
+            make_vqvae_train_step(
+                model, g_tx, loss_name="mse", d_model=d_model, d_tx=d_tx,
+                d_grouped_stats=grouped,
+            )
+        )
+        for _ in range(3):
+            state, metrics = step(state, x, SCHED)
+        return state, metrics
+
+    s_ref, m_ref = run(False)
+    s_got, m_got = run(True)
+    np.testing.assert_allclose(
+        float(m_got["Loss-Discriminator-Total"]),
+        float(m_ref["Loss-Discriminator-Total"]), rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_ref.d_params), jax.tree.leaves(s_got.d_params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(s_ref.d_batch_stats),
+        jax.tree.leaves(s_got.d_batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_vqvae_adaptive_weight_path():
     model = _small_vqvae()
     d_model = BaselineDiscriminator(ndf=4, n_layers=2, dtype=jnp.float32)

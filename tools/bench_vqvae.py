@@ -45,6 +45,7 @@ def main():
     recon = bool(kw.get("recon", True))
     adversarial = bool(kw.get("adversarial", False))
     adaptive = bool(kw.get("adaptive", False))
+    grouped_bn = bool(kw.get("grouped_bn", False))
     dev_aug = bool(kw.get("device_augment", False))
 
     model = BaselineVQVAE(
@@ -108,7 +109,9 @@ def main():
                 BaselineDiscriminator,
             )
 
-            d_model = BaselineDiscriminator(dtype=jnp.bfloat16)
+            d_model = BaselineDiscriminator(
+                dtype=jnp.bfloat16, use_split_bn=grouped_bn
+            )
         with jax.default_device(cpu):
             state, g_tx, d_tx = create_vqvae_train_state(
                 model, jax.random.key(0), init_shape, learning_rate=3e-4,
@@ -118,7 +121,7 @@ def main():
         step = jax.jit(
             make_vqvae_train_step(
                 model, g_tx, loss_name=loss, d_model=d_model, d_tx=d_tx,
-                use_adaptive_weight=adaptive,
+                use_adaptive_weight=adaptive, d_grouped_stats=grouped_bn,
             )
         )
         if dev_aug:
@@ -182,6 +185,7 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         tag = "+adv" if adversarial else ""
         tag += "+adaptive" if adaptive else ""
+        tag += "+groupedBN" if grouped_bn else ""
         tag += "+devaug" if dev_aug else ""
         print(
             f"[train{tag}] batch={batch} loss={loss}: {dt * 1e3:.0f} ms/step → "
