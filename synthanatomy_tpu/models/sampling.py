@@ -169,6 +169,7 @@ def sample_fused(
     bos_token: Optional[int] = None,
     state_dtype=jnp.bfloat16,
     ring_quant: bool = False,
+    weight_quant: str = "int8",
 ) -> jax.Array:
     """Fused-kernel sampling: the whole depth-L decode step runs as ONE
     Pallas call per token (ops/fused_decode.py) with int8 weight
@@ -202,10 +203,13 @@ def sample_fused(
         nb_features=model.nb_features or _default_nb_features(model.dim_head),
         ff_mult=model.ff_mult, quantize=True, state_dtype=state_dtype,
         ring_quant=ring_quant, use_rezero=model.use_rezero,
+        weight_quant=weight_quant,
     )
     interpret = jax.default_backend() != "tpu"
     step = make_fused_decode_step(cfg, interpret=interpret)
-    params = strip_reference_weights(pack_fused_params(model, variables))
+    params = strip_reference_weights(
+        pack_fused_params(model, variables, weight_quant=weight_quant)
+    )
 
     p = variables["params"]
     emb_t = jnp.asarray(p["token_emb"]["embedding"]).astype(jnp.bfloat16)
@@ -296,6 +300,7 @@ def make_sampler(
     with_conditionings: bool = False,
     fused="auto",
     ring_quant: bool = False,
+    weight_quant: str = "int8",
 ):
     """Return a **jitted** ``sampler(variables, rng[, conditionings])``.
 
@@ -324,6 +329,7 @@ def make_sampler(
                     conditionings=conditionings, temperature=temperature,
                     top_k=top_k, do_sample=do_sample, rng=rng,
                     bos_token=bos_token, ring_quant=ring_quant,
+                    weight_quant=weight_quant,
                 )
 
         else:
@@ -334,7 +340,7 @@ def make_sampler(
                     model, variables, ordering, batch=batch,
                     temperature=temperature, top_k=top_k,
                     do_sample=do_sample, rng=rng, bos_token=bos_token,
-                    ring_quant=ring_quant,
+                    ring_quant=ring_quant, weight_quant=weight_quant,
                 )
 
         return sampler
@@ -419,6 +425,7 @@ def make_dp_sampler(
     with_conditionings: bool = False,
     fused="auto",
     ring_quant: bool = False,
+    weight_quant: str = "int8",
 ):
     """Data-parallel serving sampler: ``sampler(variables, rng[,
     conditionings])`` runs one independent fused-decode sampling loop
@@ -448,7 +455,7 @@ def make_dp_sampler(
             model, ordering, batch=local_batch, temperature=temperature,
             top_k=top_k, do_sample=do_sample, bos_token=bos_token,
             with_conditionings=with_conditionings,
-            fused=fused, ring_quant=ring_quant,
+            fused=fused, ring_quant=ring_quant, weight_quant=weight_quant,
         )
         if with_conditionings:
             return inner(variables, rng, list(conds))

@@ -52,7 +52,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from synthanatomy_tpu.ops.quant import quantize_int8
+from synthanatomy_tpu.ops.quant import (
+    quantize_int4_packed,
+    quantize_int8,
+    unpack_int4,
+)
 
 
 def _on_tpu_default_device() -> bool:
@@ -87,6 +91,12 @@ class FusedDecodeConfig:
     ff_mult: int = 4
     ring: int = 0  # 0 → round window up to a multiple of 64
     quantize: bool = True
+    # weight stream format when quantize: "int8" (per-out-channel
+    # scales) or "int4" — two nibbles per int8 byte split along the
+    # contraction dim with per-(half, out-channel) scales
+    # (ops/quant.py quantize_int4_packed), halving the dominant
+    # weight-byte term of the decode roofline
+    weight_quant: str = "int8"
     state_dtype: Any = jnp.bfloat16  # FAVOR S accumulator storage
     # int8 ring buffers with per-(slot, batch·head) scales: the rings
     # are the largest per-step HBM stream (~176 MB at the paper shape);
@@ -186,7 +196,9 @@ def _stack(arrs):
     return jnp.stack([jnp.asarray(a, jnp.float32) for a in arrs])
 
 
-def pack_fused_params(model, variables) -> Dict[str, jax.Array]:
+def pack_fused_params(
+    model, variables, *, weight_quant: str = "int8"
+) -> Dict[str, jax.Array]:
     """Stack per-layer flax params into the kernel's (L, ...) arrays.
 
     ``proj2`` is the FAVOR projection pre-transposed and block-
@@ -246,10 +258,14 @@ def pack_fused_params(model, variables) -> Dict[str, jax.Array]:
             pt = jnp.block([[pt, z], [z, pt]])  # (2dh, 2m)
         projs.append(pt)
 
+    quant_one = (
+        quantize_int4_packed if weight_quant == "int4" else quantize_int8
+    )
+
     def quant_stack(ws):
         qs, ss = [], []
         for w in ws:
-            q, s = quantize_int8(w)
+            q, s = quant_one(jnp.asarray(w, jnp.float32))
             qs.append(q)
             ss.append(s)
         return jnp.stack(qs), jnp.stack(ss)
@@ -386,6 +402,22 @@ def fused_decode_step_ref(
     ratio = m ** -0.5
 
     def matmul(x, wq, ws, wf):
+        if quant and cfg.weight_quant == "int4":
+            # same op order as the kernel: unpack nibbles, two half
+            # dots, per-half f32 post-scale
+            lo, hi = unpack_int4(wq)
+            kh = lo.shape[0]
+            xb = x.astype(jnp.bfloat16)
+            return (
+                jnp.dot(
+                    xb[:, :kh], lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * ws[0:1]
+                + jnp.dot(
+                    xb[:, kh:], hi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * ws[1:2]
+            )
         if quant:
             # same op order as the kernel: int8→bf16 dot, f32 post-scale
             y = jnp.dot(
@@ -551,7 +583,24 @@ def _build_kernel(cfg: FusedDecodeConfig):
             var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
             return (x - mu) * jax.lax.rsqrt(var + 1e-6) * s_ref[0] + b_ref[0]
 
+        int4 = cfg.quantize and cfg.weight_quant == "int4"
+
         def qmat(x, wq_ref, ws_ref):
+            if int4:
+                lo, hi = unpack_int4(wq_ref[0])
+                kh = lo.shape[0]
+                xb = x.astype(jnp.bfloat16)
+                w_s = ws_ref[0]  # (2, N)
+                return (
+                    jnp.dot(
+                        xb[:, :kh], lo.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * w_s[0:1]
+                    + jnp.dot(
+                        xb[:, kh:], hi.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * w_s[1:2]
+                )
             w = wq_ref[0].astype(jnp.bfloat16)
             y = jnp.dot(
                 x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
@@ -751,15 +800,20 @@ def make_fused_decode_step(cfg: FusedDecodeConfig, *, interpret: bool = False):
         zeros = (0,) * len(shape)
         return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
 
+    int4 = cfg.quantize and cfg.weight_quant == "int4"
+    kdiv = 2 if int4 else 1  # packed weights hold K/2 rows
+    srows = 2 if int4 else 1  # per-half scales
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # t (1,)
         const_spec((B, D)),  # h
         layer_spec((1, D)), layer_spec((1, D)),  # ln1 scale/bias
         layer_spec((1, D)), layer_spec((1, D)),  # ln2
-        layer_spec((D, 3 * H * dh)), layer_spec((1, 3 * H * dh)),
-        layer_spec((H * dh, D)), layer_spec((1, D)),
-        layer_spec((D, F)), layer_spec((1, F)), layer_spec((1, F)),
-        layer_spec((F, D)), layer_spec((1, D)), layer_spec((1, D)),
+        layer_spec((D // kdiv, 3 * H * dh)), layer_spec((srows, 3 * H * dh)),
+        layer_spec((H * dh // kdiv, D)), layer_spec((srows, D)),
+        layer_spec((D // kdiv, F)), layer_spec((srows, F)),
+        layer_spec((1, F)),  # b1
+        layer_spec((F // kdiv, D)), layer_spec((srows, D)),
+        layer_spec((1, D)),  # b2
         layer_spec((pair * dh, pair * m)),  # proj2
         layer_spec((m, Bg * dh)),  # S
         layer_spec((Bg, m)),  # z

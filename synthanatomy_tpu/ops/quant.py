@@ -29,7 +29,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_int8", "int8_matmul", "int8_matmul_ref"]
+__all__ = [
+    "quantize_int8",
+    "quantize_int4_packed",
+    "int8_matmul",
+    "int8_matmul_ref",
+]
 
 
 def quantize_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -44,6 +49,42 @@ def quantize_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(absmax, 1e-12) / 127.0
     w_q = jnp.clip(jnp.rint(w / scale), -127, 127).astype(jnp.int8)
     return w_q, scale
+
+
+def quantize_int4_packed(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(K, N) float weights → (packed int8 (K/2, N), scales f32 (2, N)).
+
+    Two int4 values per byte, split along the CONTRACTION dim: byte k
+    holds row ``k`` in the low nibble and row ``k + K/2`` in the high
+    nibble, so the consumer unpacks into two contiguous (K/2, N) halves
+    and runs ``x[:, :K/2] @ W_lo * s[0] + x[:, K/2:] @ W_hi * s[1]`` —
+    no lane interleave (Mosaic-friendly) and a free per-half scale
+    refinement over plain per-channel int4.  Symmetric, ±7 levels.
+
+    Mosaic cannot load ``jnp.int4`` arrays (probed UNIMPLEMENTED on
+    v5e — tools/probe_int4.py), hence the int8 carrier.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    k = w.shape[0]
+    assert k % 2 == 0, k
+    halves = w.reshape(2, k // 2, -1)  # [lo rows; hi rows]
+    absmax = jnp.max(jnp.abs(halves), axis=1)  # (2, N)
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(
+        jnp.rint(halves / scale[:, None, :]), -7, 7
+    ).astype(jnp.int32)
+    packed = ((q[1] & 15) << 4) | (q[0] & 15)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Packed (K/2, N) int8 → (lo, hi) int32 halves in [-8, 7] (the
+    exact in-kernel unpack sequence; shared by the Pallas kernel body
+    and the XLA reference path)."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 15) ^ 8) - 8
+    hi = (((p >> 4) & 15) ^ 8) - 8
+    return lo, hi
 
 
 def int8_matmul_ref(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:

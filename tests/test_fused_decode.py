@@ -129,6 +129,100 @@ def test_quantized_matches_unquantized(setup, token_seq):
     assert agree >= 0.9, f"greedy agreement {agree}"
 
 
+def test_int4_pack_roundtrip():
+    """quantize_int4_packed + unpack_int4 must reproduce the quantized
+    halves exactly (the pack/unpack bit algebra)."""
+    from synthanatomy_tpu.ops.quant import quantize_int4_packed, unpack_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    packed, scale = quantize_int4_packed(w)
+    assert packed.shape == (32, 128) and scale.shape == (2, 128)
+    lo, hi = unpack_int4(packed)
+    want = np.clip(
+        np.rint(np.asarray(w).reshape(2, 32, 128) / np.asarray(scale)[:, None, :]),
+        -7, 7,
+    )
+    np.testing.assert_array_equal(np.asarray(lo), want[0])
+    np.testing.assert_array_equal(np.asarray(hi), want[1])
+    # dequantized halves approximate the original
+    deq = np.stack([lo, hi]) * np.asarray(scale)[:, None, :]
+    err = np.abs(deq.reshape(64, 128) - np.asarray(w)).max()
+    assert err <= np.asarray(scale).max() / 2 + 1e-6
+
+
+def test_int4_weights_bounded_perturbation(setup, token_seq):
+    """int4 packed weights through the fused reference: much coarser
+    than int8 (measured ~60% greedy agreement on THIS untrained random
+    model, whose near-flat logits flip on small perturbations — vs
+    ≥90% for int8).  This test pins that the perturbation stays bounded
+    and finite; the ship/no-ship quality gate is the TRAINED-model
+    validation (tools/validate_fused_decode.py --weight-quant=int4,
+    100%-greedy-agreement standard — see BASELINE.md round 5)."""
+    model, variables, cfg, params = setup
+    params4 = pack_fused_params(model, variables, weight_quant="int4")
+    cfg4 = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=True, state_dtype=jnp.float32, weight_quant="int4",
+    )
+    lg_q = _run_fused(model, variables, cfg4, params4, token_seq,
+                      use_quantized=True)
+    lg_f = _run_fused(model, variables, cfg, params, token_seq,
+                      use_quantized=False)
+    assert np.isfinite(np.asarray(lg_q)).all()
+    std = np.asarray(lg_f).std()
+    rel = np.abs(np.asarray(lg_q) - np.asarray(lg_f)).mean() / std
+    assert rel < 0.3, f"mean perturbation {rel:.3f} of logit std"
+    agree = (
+        np.argmax(np.asarray(lg_q), -1) == np.argmax(np.asarray(lg_f), -1)
+    ).mean()
+    assert agree >= 0.5, f"greedy agreement {agree}"
+
+
+def test_kernel_interpret_matches_ref_int4(setup, token_seq):
+    """The Pallas kernel with packed-int4 weight streaming must match
+    the fused reference's int4 branch (same unpack + op order)."""
+    model, variables, cfg, params = setup
+    params4 = pack_fused_params(model, variables, weight_quant="int4")
+    cfg4 = FusedDecodeConfig(
+        depth=DEPTH, batch=B, dim=DIM, heads=HEADS, dim_head=DH,
+        local_heads=LH, local_window=WIN, nb_features=M,
+        quantize=True, state_dtype=jnp.float32, weight_quant="int4",
+    )
+    step = make_fused_decode_step(cfg4, interpret=True)
+    state_k = init_fused_state(cfg4)
+    state_r = init_fused_state(cfg4)
+    for t in range(10):
+        h = _embed(model, variables, token_seq[:, t], t)
+        hk, state_k, ka_k, va_k = step(params4, state_k, h, t)
+        hr, state_r, ka_r, va_r = fused_decode_step_ref(
+            params4, state_r, h, jnp.asarray(t), cfg4, use_quantized=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(hk), np.asarray(hr), rtol=2e-2, atol=2e-2
+        )
+        state_k = update_rings(state_k, ka_k, va_k, t, cfg4)
+        state_r = update_rings(state_r, ka_r, va_r, t, cfg4)
+
+
+def test_make_sampler_fused_int4_runs(setup):
+    """End-to-end: make_sampler(weight_quant='int4') produces a valid
+    grid through the fused path."""
+    from synthanatomy_tpu.models.ordering import Ordering
+    from synthanatomy_tpu.models.sampling import make_sampler
+
+    model, variables, cfg, params = setup
+    ordering = Ordering("raster_scan", 3, (2, 4, 4))
+    sampler = make_sampler(
+        model, ordering, batch=B, do_sample=False, fused=True,
+        weight_quant="int4",
+    )
+    grid = sampler(variables, jax.random.key(0))
+    assert grid.shape == (B, 2, 4, 4)
+    assert int(grid.max()) < VOCAB - 1 and int(grid.min()) >= 0
+
+
 def test_kernel_interpret_matches_ref(setup, token_seq):
     model, variables, cfg, params = setup
     cfgq = FusedDecodeConfig(

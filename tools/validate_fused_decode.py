@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument(
+        "--weight-quant", default="int8", choices=["int8", "int4"],
+        help="fused-path weight stream format (int4 = packed nibbles, "
+        "per-half-channel scales — the VERDICT r5 candidate)",
+    )
+    p.add_argument(
         "--paper-form", action="store_true",
         help="ReZero blocks + learned 'absolute' spatial tables (the "
         "bench.py headline block/embedding form, reference "
@@ -117,6 +122,7 @@ def main() -> None:
         s = make_sampler(
             model, ordering, batch=4, do_sample=False,
             fused=fused, ring_quant=ring_quant,
+            weight_quant=args.weight_quant,
         )
         return np.asarray(s(variables, jax.random.key(7)))
 
@@ -148,8 +154,11 @@ def main() -> None:
         depth=6, batch=2, dim=256, heads=4, dim_head=64, local_heads=2,
         local_window=64, nb_features=128, quantize=True,
         state_dtype=jnp.bfloat16, ring_quant=True,
+        weight_quant=args.weight_quant,
     )
-    params_f = pack_fused_params(model, variables)
+    params_f = pack_fused_params(
+        model, variables, weight_quant=args.weight_quant
+    )
     st = init_fused_state(cfg)
     pemb = variables["params"]["token_emb"]["embedding"]
     ppos = variables["params"]["abs_pos_emb"]["embedding"]
@@ -190,6 +199,7 @@ def main() -> None:
 
     print(json.dumps({
         "block_form": "rezero+spatial" if args.paper_form else "preln",
+        "weight_quant": args.weight_quant,
         "trained_ce": round(loss, 4),
         "greedy_agreement_fused_bf16_rings": round(agree_bf, 4),
         "greedy_agreement_fused_int8_rings": round(agree_i8, 4),
