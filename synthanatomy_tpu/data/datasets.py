@@ -187,17 +187,18 @@ class VolumeDataset:
     def _load(self, path: str):
         from synthanatomy_tpu.data.nifti import NiftiImage, closest_canonical
 
-        # fuse min-max normalization into the native decode pass when the
-        # transform chain starts with it (flips/crops/pads are
-        # normalization-invariant)
+        # fuse min-max normalization AND canonical reorientation into
+        # the native decode's gather pass (flips/permutes/crops/pads
+        # are normalization-invariant, so order is free)
         fuse_norm = self._native is not None and getattr(
             self.transform, "normalize", False
         )
         if self._native is not None:
-            vol, affine = self._native(path, normalize=fuse_norm)
-            img = NiftiImage(vol, affine)
-        else:
-            img = load_nifti(path, as_closest_canonical=False)
+            vol, affine = self._native(
+                path, normalize=fuse_norm, canonical=self.canonical
+            )
+            return NiftiImage(vol, affine), fuse_norm
+        img = load_nifti(path, as_closest_canonical=False)
         if self.canonical:
             img = closest_canonical(img)
         return img, fuse_norm

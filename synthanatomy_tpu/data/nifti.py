@@ -16,7 +16,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["load_nifti", "save_nifti", "closest_canonical", "NiftiImage"]
+__all__ = [
+    "load_nifti",
+    "save_nifti",
+    "closest_canonical",
+    "canonical_affine",
+    "NiftiImage",
+]
 
 _DTYPES = {
     2: np.uint8,
@@ -153,6 +159,25 @@ def _io_orientation(affine: np.ndarray) -> np.ndarray:
     return ornt
 
 
+def canonical_affine(
+    affine: np.ndarray, ornt: np.ndarray, in_shape
+) -> np.ndarray:
+    """Rebuild the affine after a (flip, permute) reorientation given
+    the ``_io_orientation`` table and the ORIGINAL data shape —
+    ``aff' = aff @ t @ p`` (shared with the native loader's canonical
+    path, which does the data movement in C++)."""
+    t = np.eye(4)
+    for ax in range(3):
+        if ornt[ax, 1] < 0:
+            t[ax, ax] = -1
+            t[ax, 3] = in_shape[ax] - 1
+    p = np.zeros((4, 4))
+    p[3, 3] = 1
+    for in_ax in range(3):
+        p[in_ax, int(ornt[in_ax, 0])] = 1
+    return affine @ t @ p
+
+
 def closest_canonical(img: NiftiImage) -> NiftiImage:
     """Reorient data + affine to the closest RAS axes (nibabel
     ``as_closest_canonical``)."""
@@ -169,18 +194,8 @@ def closest_canonical(img: NiftiImage) -> NiftiImage:
     extra = tuple(range(3, data.ndim))
     data = np.transpose(data, tuple(perm) + extra)
 
-    # rebuild the affine: aff' = aff @ inv(transform)
-    t = np.eye(4)
-    for ax in range(3):
-        if ornt[ax, 1] < 0:
-            t[ax, ax] = -1
-            t[ax, 3] = shape[ax] - 1
-    p = np.zeros((4, 4))
-    p[3, 3] = 1
-    for in_ax in range(3):
-        p[in_ax, int(ornt[in_ax, 0])] = 1
     # data' [i_out] = data[perm[i_out]] ; affine' maps out-voxels to world
-    affine = img.affine @ t @ p
+    affine = canonical_affine(img.affine, ornt, shape)
     return NiftiImage(np.ascontiguousarray(data), affine)
 
 

@@ -35,13 +35,13 @@ _failed: Optional[str] = None
 
 
 def _build() -> None:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-lz",
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        raise NativeUnavailable(f"native build failed:\n{proc.stderr}")
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    # libdeflate's single-shot gzip decompressor is 2-3x zlib; optional
+    for extra in (["-lz", "-ldeflate", "-DHAVE_LIBDEFLATE"], ["-lz"]):
+        proc = subprocess.run(base + extra, capture_output=True, text=True)
+        if proc.returncode == 0:
+            return
+    raise NativeUnavailable(f"native build failed:\n{proc.stderr}")
 
 
 def _load():
@@ -71,6 +71,17 @@ def _load():
                 ctypes.c_int,
             ]
             lib.sat_load_nifti.restype = ctypes.c_int
+            lib.sat_load_nifti_v2.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.sat_load_nifti_v2.restype = ctypes.c_int
             _lib = lib
             return _lib
         except Exception as e:  # compiler missing, load error, ...
@@ -96,13 +107,15 @@ _ERRORS = {
 
 
 def load_nifti_native(
-    path: str, *, normalize: bool = False
+    path: str, *, normalize: bool = False, canonical: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode a `.nii`/`.nii.gz` file natively.
 
-    Returns ``(volume float32 (X, Y, Z), affine (4, 4))``.  The volume
-    matches ``np.frombuffer(...).reshape(shape, order='F')`` of the
-    Python reader.
+    Returns ``(volume float32 (X, Y, Z) C-contiguous, affine (4, 4))``,
+    matching the Python reader's output.  With ``canonical=True`` the
+    volume is reoriented to closest-canonical RAS and the affine
+    rebuilt accordingly (``data.nifti.closest_canonical`` equivalent) —
+    all inside the C++ gather pass, no extra numpy copies.
     """
     lib = _load()
     shape = (ctypes.c_int64 * 3)()
@@ -112,15 +125,27 @@ def load_nifti_native(
     n = shape[0] * shape[1] * shape[2]
     out = np.empty(n, np.float32)
     affine = np.empty(16, np.float32)
-    rc = lib.sat_load_nifti(
+    ornt = np.empty(6, np.int32)
+    rc = lib.sat_load_nifti_v2(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n,
         shape,
         affine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         1 if normalize else 0,
+        1 if canonical else 0,
+        ornt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
-    vol = out.reshape((shape[0], shape[1], shape[2]), order="F")
-    return np.ascontiguousarray(vol), affine.reshape(4, 4).astype(np.float64)
+    vol = out.reshape((shape[0], shape[1], shape[2]))
+    aff = affine.reshape(4, 4).astype(np.float64)
+    if canonical:
+        from synthanatomy_tpu.data.nifti import canonical_affine
+
+        ornt2 = ornt.reshape(3, 2).astype(np.float64)
+        in_shape = tuple(
+            int(shape[int(ornt2[a, 0])]) for a in range(3)
+        )
+        aff = canonical_affine(aff, ornt2, in_shape)
+    return vol, aff

@@ -637,6 +637,10 @@ def training(config: TransformerConfig) -> Dict[str, Any]:
                     # tunnel's ~3 ms dispatch floor N times)
                     vlosses.append(m["Loss"])
                 val_ce = float(np.asarray(jnp.stack(vlosses)).mean())
+                # surface the eval CE to callers (tools/quality_loop.py
+                # trains the prior to a CE threshold off this)
+                if history:
+                    history[-1]["val_Loss"] = val_ce
                 if config.rank == 0:
                     tb_val.scalars({"Loss-CE": val_ce}, epoch + 1)
                     logger.info(f"eval @ {epoch + 1}: CE={val_ce:.4f}")

@@ -517,6 +517,12 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
                         tb_val.volume_gif("reconstructions_3d", last[1], epoch + 1)
                     logger.info(f"eval @ {epoch + 1}: val {val_metrics} "
                                 f"train_eval {train_eval_metrics}")
+                # surface eval metrics to callers (tools/quality_loop.py
+                # trains to a val MS-SSIM threshold off this)
+                if history:
+                    history[-1].update(
+                        {f"val_{k}": v for k, v in val_metrics.items()}
+                    )
                 key = val_metrics.get("MS-SSIM", -val_metrics.get("MSE", np.inf))
                 if key > best_metric:
                     best_metric = key

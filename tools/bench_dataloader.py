@@ -64,8 +64,12 @@ def main():
                 ds, batch_size=2, num_workers=workers, shuffle=False,
                 drop_last=False,
             )
-            # warm (file cache)
-            next(iter(loader.epoch(0)))
+            # warm (file cache) — exhaust the epoch: its worker threads
+            # keep draining the job queue after the first batch, and on
+            # a 1-core box they'd contend with the timed epoch (this
+            # inflated the round-4 recorded numbers by ~1.7x)
+            for _ in loader.epoch(0):
+                pass
             t0 = time.perf_counter()
             count = 0
             for batch in loader.epoch(1):
