@@ -1,0 +1,102 @@
+"""Fused residual-layer kernel (ops/res_stack_pallas.py) exactness.
+
+CPU interpret-mode checks: both shift modes vs the XLA reference
+expression AND the production ResidualLayer module, values and
+gradients, plus the support gate.  The reference expression mirrors
+the module rounding (conv out → compute dtype → +bias → relu), so the
+only permitted divergence is conv-accumulation order (bf16 ulp scale).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthanatomy_tpu.models.vqvae import ResidualLayer
+from synthanatomy_tpu.ops.res_stack_pallas import (
+    fused_residual_layer,
+    residual_layer_reference,
+    supports_fused_residual,
+)
+
+
+def _make(shape=(1, 8, 8, 16, 128), r=128, seed=0):
+    rng = np.random.default_rng(seed)
+    b, d, h, w, c = shape
+    x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, c, r)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(r,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(r, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_fused_matches_reference():
+    x, w1, b1, w2, b2 = _make()
+    ref = np.asarray(residual_layer_reference(x, w1, b1, w2, b2), np.float32)
+    out = np.asarray(
+        fused_residual_layer(x, w1, b1, w2, b2, True), np.float32
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() <= 0.02 * scale
+
+
+def test_reference_matches_module():
+    """The reference expression IS the module math (same rounding)."""
+    x, w1, b1, w2, b2 = _make()
+    mod = ResidualLayer(128, 128, 0.0, slim=True, dtype=jnp.bfloat16)
+    params = {
+        "params": {
+            "TorchConv3d_0": {"kernel": w1, "bias": b1},
+            "TorchConv3d_1": {
+                "kernel": w2.reshape(1, 1, 1, *w2.shape), "bias": b2,
+            },
+        }
+    }
+    got = np.asarray(mod.apply(params, x), np.float32)
+    ref = np.asarray(residual_layer_reference(x, w1, b1, w2, b2), np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_gradients_match_reference():
+    x, w1, b1, w2, b2 = _make()
+
+    def loss(fn):
+        return lambda *a: jnp.sum(
+            jnp.square(fn(*a).astype(jnp.float32))
+        )
+
+    g_ref = jax.grad(loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2
+    )
+    g_fus = jax.grad(
+        loss(lambda *a: fused_residual_layer(*a, True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w1, b1, w2, b2)
+    for a, b in zip(g_ref, g_fus):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.abs(a).max() + 1e-6
+        # backward is the same vjp; differences enter only through the
+        # forward's conv-order rounding feeding the cotangent
+        assert np.abs(a - b).max() <= 0.02 * scale
+
+
+def test_support_gate():
+    assert supports_fused_residual((1, 80, 112, 80, 128), 128)
+    assert supports_fused_residual((4, 40, 56, 40, 128), 128)
+    assert not supports_fused_residual((1, 80, 112, 80, 96), 96)  # lanes
+    assert not supports_fused_residual((1, 80, 112, 82, 128), 128)  # W%8
+    assert not supports_fused_residual((1, 80, 112, 80), 128)  # rank
+
+
+@pytest.mark.parametrize("shape,r", [((2, 8, 8, 16, 128), 128),
+                                     ((1, 8, 8, 16, 256), 128)])
+def test_fused_other_shapes(shape, r):
+    if not supports_fused_residual(shape, r):
+        pytest.skip("gate rejects")
+    x, w1, b1, w2, b2 = _make(shape, r, seed=3)
+    ref = np.asarray(residual_layer_reference(x, w1, b1, w2, b2), np.float32)
+    out = np.asarray(
+        fused_residual_layer(x, w1, b1, w2, b2, True), np.float32
+    )
+    assert np.abs(out - ref).max() <= 0.02 * (np.abs(ref).max() + 1e-6)
