@@ -48,6 +48,19 @@ def _replicated(sharding, ndim: int):
     return NamedSharding(sharding.mesh, P())
 
 
+def _lead_axis_names(sharding, n_lead: int):
+    """Mesh axis names the first ``n_lead`` dims are sharded over."""
+    names = []
+    for entry in list(sharding.spec)[:n_lead]:
+        if entry is None:
+            continue
+        if isinstance(entry, (tuple, list)):
+            names.extend(entry)
+        else:
+            names.append(entry)
+    return tuple(names)
+
+
 def make_bh_partitioned(
     impl: Callable,
     *,
@@ -56,6 +69,7 @@ def make_bh_partitioned(
     rule: str,
     replicated_argnums: Sequence[int] = (),
     n_lead: int = 2,
+    summed_resnums: Sequence[int] = (),
 ):
     """Wrap ``impl`` in custom_partitioning with (b, h)-only sharding.
 
@@ -66,12 +80,23 @@ def make_bh_partitioned(
     results keep only their leading ``n_lead`` dims' sharding.
     ``rule`` is the Shardy einsum-like propagation rule over the array
     operands/results.
+
+    Results listed in ``summed_resnums`` are batch reductions (weight /
+    bias gradients of a kernel backward): each shard computes its
+    partial and the lowering inserts a ``lax.psum`` over the lead
+    mesh axes, so the declared result sharding is fully replicated.
     """
     replicated_set = frozenset(replicated_argnums)
+    summed_set = frozenset(summed_resnums)
     cp = custom_partitioning(impl, static_argnums=static_argnums)
 
     def _arg_sharding(i, shaped):
         if i in replicated_set:
+            return _replicated(shaped.sharding, len(shaped.shape))
+        return _lead_only(shaped.sharding, len(shaped.shape), n_lead)
+
+    def _res_sharding(j, shaped):
+        if j in summed_set:
             return _replicated(shaped.sharding, len(shaped.shape))
         return _lead_only(shaped.sharding, len(shaped.shape), n_lead)
 
@@ -82,16 +107,30 @@ def make_bh_partitioned(
         )
         if isinstance(result_shape, (tuple, list)):
             out_sh = tuple(
-                _lead_only(r.sharding, len(r.shape), n_lead)
-                for r in result_shape
+                _res_sharding(j, r) for j, r in enumerate(result_shape)
             )
         else:
-            out_sh = _lead_only(
-                result_shape.sharding, len(result_shape.shape), n_lead
-            )
+            out_sh = _res_sharding(0, result_shape)
+
+        psum_axes = _lead_axis_names(
+            _lead_only(
+                arg_shapes[0].sharding, len(arg_shapes[0].shape), n_lead
+            ),
+            n_lead,
+        )
 
         def lower_fn(*operands):
-            return impl(*operands, *static)
+            res = impl(*operands, *static)
+            if not summed_set or not psum_axes:
+                return res
+            import jax
+
+            if isinstance(res, (tuple, list)):
+                return type(res)(
+                    jax.lax.psum(r, psum_axes) if j in summed_set else r
+                    for j, r in enumerate(res)
+                )
+            return jax.lax.psum(res, psum_axes)
 
         return mesh, lower_fn, out_sh, arg_sh
 
@@ -100,7 +139,9 @@ def make_bh_partitioned(
         src = arg_shapes[0]
         lead = _lead_only(src.sharding, len(src.shape), n_lead)
 
-        def _with_ndim(shaped):
+        def _with_ndim(j, shaped):
+            if j in summed_set:
+                return _replicated(lead, len(shaped.shape))
             spec = list(lead.spec)[:n_lead]
             return NamedSharding(
                 lead.mesh,
@@ -108,8 +149,10 @@ def make_bh_partitioned(
             )
 
         if isinstance(result_shape, (tuple, list)):
-            return tuple(_with_ndim(r) for r in result_shape)
-        return _with_ndim(result_shape)
+            return tuple(
+                _with_ndim(j, r) for j, r in enumerate(result_shape)
+            )
+        return _with_ndim(0, result_shape)
 
     cp.def_partition(
         partition,

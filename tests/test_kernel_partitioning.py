@@ -158,3 +158,63 @@ def test_gspmd_dp_tp_step_with_pallas_kernels(monkeypatch):
     np.testing.assert_allclose(
         float(mk["Loss"]), float(mx["Loss"]), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------
+# fused residual layer (ops/res_stack_pallas.py): batch-only sharding,
+# weight/bias grads psum'd by the lowering (summed_resnums)
+# ---------------------------------------------------------------------
+
+from synthanatomy_tpu.ops.res_stack_pallas import (
+    fused_residual_layer,
+    supports_fused_residual,
+)
+
+
+def _res_args(seed=0, b=8):
+    rng = np.random.default_rng(seed)
+    c = r = 128
+    x = jnp.asarray(rng.normal(size=(b, 8, 8, 16, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, c, r)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(r,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(r, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    assert supports_fused_residual(x.shape, r)
+    return x, w1, b1, w2, b2
+
+
+def test_fused_residual_partitioned_matches_unsharded():
+    args = _res_args()
+    fn = lambda *a: fused_residual_layer(*a, True)
+    ref = jax.jit(fn)(*args)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(args[0], NamedSharding(mesh, P("data")))
+    ws = [jax.device_put(a, NamedSharding(mesh, P())) for a in args[1:]]
+    with jax.set_mesh(mesh):
+        out = jax.jit(fn)(xs, *ws)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_residual_partitioned_grads_match():
+    args = _res_args(seed=1)
+
+    def loss(*a):
+        o = fused_residual_layer(*a, True)
+        return jnp.sum(o * o)
+
+    ref_grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*args)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(args[0], NamedSharding(mesh, P("data")))
+    ws = [jax.device_put(a, NamedSharding(mesh, P())) for a in args[1:]]
+    with jax.set_mesh(mesh):
+        grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(xs, *ws)
+    for g_ref, g in zip(ref_grads, grads):
+        g_ref, g = np.asarray(g_ref), np.asarray(g)
+        scale = np.abs(g_ref).max() + 1e-6
+        # weight grads cross a psum: per-shard partial-sum order differs
+        # from the unsharded accumulation order (f32 ulp-scale)
+        assert np.abs(g - g_ref).max() <= 1e-4 * scale

@@ -20,10 +20,10 @@ from synthanatomy_tpu.ops.res_stack_pallas import (
 )
 
 
-def _make(shape=(1, 8, 8, 16, 128), r=128, seed=0):
+def _make(shape=(1, 8, 8, 16, 128), r=128, seed=0, dtype=jnp.bfloat16):
     rng = np.random.default_rng(seed)
     b, d, h, w, c = shape
-    x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=shape), dtype)
     w1 = jnp.asarray(rng.normal(size=(3, 3, 3, c, r)) * 0.05, jnp.float32)
     b1 = jnp.asarray(rng.normal(size=(r,)) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(r, c)) * 0.05, jnp.float32)
@@ -58,27 +58,51 @@ def test_reference_matches_module():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_fused_gradients_match_reference():
-    x, w1, b1, w2, b2 = _make()
+def _loss(fn):
+    return lambda *a: jnp.sum(jnp.square(fn(*a).astype(jnp.float32)))
 
-    def loss(fn):
-        return lambda *a: jnp.sum(
-            jnp.square(fn(*a).astype(jnp.float32))
-        )
 
-    g_ref = jax.grad(loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4))(
+def test_fused_gradients_match_reference_f32():
+    """f32 inputs: both paths accumulate f32 — agreement must be tight."""
+    x, w1, b1, w2, b2 = _make(dtype=jnp.float32)
+    g_ref = jax.grad(_loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4))(
         x, w1, b1, w2, b2
     )
     g_fus = jax.grad(
-        loss(lambda *a: fused_residual_layer(*a, True)),
+        _loss(lambda *a: fused_residual_layer(*a, True)),
         argnums=(0, 1, 2, 3, 4),
     )(x, w1, b1, w2, b2)
     for a, b in zip(g_ref, g_fus):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-        scale = np.abs(a).max() + 1e-6
-        # backward is the same vjp; differences enter only through the
-        # forward's conv-order rounding feeding the cotangent
-        assert np.abs(a - b).max() <= 0.02 * scale
+        assert np.abs(a - b).max() <= 2e-3 * (np.abs(a).max() + 1e-6)
+
+
+def test_fused_gradients_bf16_no_worse_than_reference():
+    """bf16 inputs: the fused backward accumulates weight/bias grads in
+    f32 while the XLA reference vjp reduces bf16 cotangents through
+    bf16 accumulators (≈3% error on bias sums), so direct comparison
+    conflates two valid roundings.  Instead, measure both against the
+    f32-input oracle: the fused error must not exceed the reference's
+    own bf16 error (× slack for ordering)."""
+    x, w1, b1, w2, b2 = _make(dtype=jnp.bfloat16)
+    g_oracle = jax.grad(
+        _loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4)
+    )(x.astype(jnp.float32), w1, b1, w2, b2)
+    g_ref = jax.grad(_loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2
+    )
+    g_fus = jax.grad(
+        _loss(lambda *a: fused_residual_layer(*a, True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w1, b1, w2, b2)
+    for o, a, b in zip(g_oracle, g_ref, g_fus):
+        o = np.asarray(o, np.float32)
+        scale = np.abs(o).max() + 1e-6
+        err_ref = np.abs(np.asarray(a, np.float32) - o).max()
+        err_fus = np.abs(np.asarray(b, np.float32) - o).max()
+        assert err_fus <= 2.0 * err_ref + 5e-3 * scale, (
+            err_fus, err_ref, scale,
+        )
 
 
 def test_support_gate():
@@ -100,3 +124,22 @@ def test_fused_other_shapes(shape, r):
         fused_residual_layer(x, w1, b1, w2, b2, True), np.float32
     )
     assert np.abs(out - ref).max() <= 0.02 * (np.abs(ref).max() + 1e-6)
+
+
+def test_fused_gradients_batched():
+    """b>1 exercises weight-grad accumulation across the batch grid dim."""
+    x, w1, b1, w2, b2 = _make((2, 8, 8, 16, 128), seed=5, dtype=jnp.float32)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.square(fn(*a).astype(jnp.float32)))
+
+    g_ref = jax.grad(loss(residual_layer_reference), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2
+    )
+    g_fus = jax.grad(
+        loss(lambda *a: fused_residual_layer(*a, True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w1, b1, w2, b2)
+    for a, b in zip(g_ref, g_fus):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.abs(a - b).max() <= 2e-3 * (np.abs(a).max() + 1e-6)
