@@ -164,6 +164,9 @@ class VQVAEConfig:
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     compute_dtype: str = "bfloat16"
     use_pallas_vq: bool = True
+    # fused residual-layer Pallas kernel (fwd + bwd) on TPU when the
+    # shape gate passes; False forces the XLA conv chain
+    use_fused_residual: bool = True
     use_remat: bool = True
     donate_state: bool = True
     # one-pass D(fake)+D(real) update with per-half BatchNorm statistics

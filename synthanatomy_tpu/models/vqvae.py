@@ -26,6 +26,7 @@ TPU-first rebuild of the reference ``BaselineVQVAE``
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
@@ -34,12 +35,24 @@ import jax.numpy as jnp
 
 from synthanatomy_tpu.ops import vq as vq_ops
 from synthanatomy_tpu.ops.conv3d import conv3d, conv_transpose3d, subpixel_upsample3d
+from synthanatomy_tpu.ops.res_stack_pallas import (
+    fused_residual_layer,
+    supports_fused_residual,
+)
+from synthanatomy_tpu.ops.vq import _running_on_tpu
 
 __all__ = ["BaselineVQVAE", "ResidualLayer", "TorchConv3d", "TorchConvTranspose3d"]
 
 # kaiming_uniform(a=√5) ≡ U(±√(1/fan_in)) — torch Conv3d's default init,
 # kept so training dynamics match the reference
 _torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+# fused residual-layer auto-gate: below this voxel count the kernel
+# measures break-even in isolation (40³-scale: 1.00×, BASELINE.md
+# round 5) and each extra pallas boundary costs scheduling freedom in
+# the full step — only the measured-win scale (80³-class) fuses by
+# default; override via env for ablations
+_FUSED_MIN_VOXELS = int(os.environ.get("SYNTH_FUSED_MIN_VOXELS", 500_000))
 
 
 class TorchConv3d(nn.Module):
@@ -55,7 +68,7 @@ class TorchConv3d(nn.Module):
     kernel_init: Any = _torch_conv_init
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         k = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -68,6 +81,11 @@ class TorchConv3d(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            # declare-and-return for callers that consume the params in
+            # a fused kernel (ResidualLayer's fused path) — identical
+            # names/shapes/init to the conv path, no compute
+            return kernel, bias
         x = x.astype(self.dtype)
         return conv3d(
             x,
@@ -147,25 +165,68 @@ class SubpixelUpsample3d(nn.Module):
 class ResidualLayer(nn.Module):
     """Conv3d(3³, pad 1) → ReLU → Dropout → Conv3d(1³) with post-add
     ReLU (reference baseline.py:150-160; the 1³ second conv is the
-    ``use_slim_residual`` behaviour; 3³ when slim is off)."""
+    ``use_slim_residual`` behaviour; 3³ when slim is off).
+
+    On TPU the whole layer runs as one halo-tiled Pallas kernel
+    (ops/res_stack_pallas.py — read x once, write y once; fused
+    backward) when the shape gate passes; ``use_fused`` overrides the
+    auto gate (None = on-TPU auto).  The fused path reuses the exact
+    TorchConv3d param declarations, so checkpoints are identical."""
 
     channels: int
     res_channels: int
     dropout: float = 0.0
     slim: bool = True
     dtype: Any = jnp.bfloat16
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = TorchConv3d(
+        conv1 = TorchConv3d(
             self.res_channels, kernel_size=3, padding=1, dtype=self.dtype
-        )(x)
+        )
+        if self.slim:
+            conv2 = TorchConv3d(self.channels, kernel_size=1, dtype=self.dtype)
+        else:
+            conv2 = TorchConv3d(
+                self.channels, kernel_size=3, padding=1, dtype=self.dtype
+            )
+        on_tpu = _running_on_tpu()
+        fused = self.use_fused if self.use_fused is not None else on_tpu
+        if self.use_fused is None:
+            # auto mode only fuses at the measured-win scale; an
+            # explicit True bypasses the size heuristic (tests, probes)
+            n_vox = 1
+            for s in x.shape[1:4]:
+                n_vox *= s
+            fused = fused and n_vox >= _FUSED_MIN_VOXELS
+        # under nn.remat `deterministic` may be a traced bool — only a
+        # static Python True can waive the dropout==0 requirement
+        no_dropout = self.dropout == 0.0 or (
+            isinstance(deterministic, bool) and deterministic
+        )
+        fused = (
+            fused
+            and self.slim
+            and no_dropout
+            and x.shape[-1] == self.channels
+            and supports_fused_residual(x.shape, self.res_channels)
+        )
+        if fused:
+            w1, b1 = conv1(x, params_only=True)
+            w2, b2 = conv2(
+                jnp.zeros((1, 1, 1, 1, self.res_channels), self.dtype),
+                params_only=True,
+            )
+            return fused_residual_layer(
+                x.astype(self.dtype), w1, b1,
+                w2.reshape(self.res_channels, self.channels), b2,
+                not on_tpu,  # interpret mode when forced on off-TPU
+            )
+        h = conv1(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        if self.slim:
-            h = TorchConv3d(self.channels, kernel_size=1, dtype=self.dtype)(h)
-        else:
-            h = TorchConv3d(self.channels, kernel_size=3, padding=1, dtype=self.dtype)(h)
+        h = conv2(h)
         return nn.relu(x + h)
 
 
@@ -195,6 +256,9 @@ class BaselineVQVAE(nn.Module):
     embedding_init: str = "normal"
     dtype: Any = jnp.bfloat16
     use_pallas_vq: Optional[bool] = None
+    # None = auto: fused residual-layer Pallas kernel on TPU when the
+    # shape gate passes (ops/res_stack_pallas.py); False forces XLA
+    use_fused_residual: Optional[bool] = None
     # rematerialize residual stacks in the backward pass — the
     # TPU-idiomatic memory/FLOP trade that lets full 160×224×160
     # volumes train in 16 GB HBM (SURVEY.md §2.9 AMP row: no GradScaler
@@ -207,6 +271,16 @@ class BaselineVQVAE(nn.Module):
             if self.use_remat
             else ResidualLayer
         )
+        # measured auto-policy (BASELINE.md round 5): the fused kernel
+        # wins 1.18x under REMAT training (the backward recompute runs
+        # at isolated-kernel cost, where the kernel beats XLA), but
+        # loses in plain forward/no-remat graphs where XLA fuses the
+        # conv chain with its neighbours — so auto only fuses the
+        # rematerialized training form; explicit True/False overrides
+        if self.use_fused_residual is None:
+            layer_fused = None if self.use_remat else False
+        else:
+            layer_fused = self.use_fused_residual
         # ---- encoder (reference construct_encoder, baseline.py:213-246)
         enc_convs, enc_res = [], []
         for i in range(self.n_levels):
@@ -223,7 +297,8 @@ class BaselineVQVAE(nn.Module):
                 [
                     res_layer(
                         ch, res_ch, self.dropout, slim=self.use_slim_residual,
-                        dtype=self.dtype, name=f"encoder_res_{i}_{j}",
+                        dtype=self.dtype, use_fused=layer_fused,
+                        name=f"encoder_res_{i}_{j}",
                     )
                     for j in range(self.n_res_layers)
                 ]
@@ -248,7 +323,8 @@ class BaselineVQVAE(nn.Module):
                 [
                     res_layer(
                         ch, res_ch, self.dropout, slim=self.use_slim_residual,
-                        dtype=self.dtype, name=f"decoder_res_{i}_{j}",
+                        dtype=self.dtype, use_fused=layer_fused,
+                        name=f"decoder_res_{i}_{j}",
                     )
                     for j in range(self.n_res_layers)
                 ]

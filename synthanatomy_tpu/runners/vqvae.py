@@ -48,6 +48,7 @@ def build_vqvae(config: VQVAEConfig, dtype=None):
         # True means "auto" (pallas on TPU, XLA elsewhere — incl. the
         # host-CPU init scope); False forces the XLA path everywhere
         use_pallas_vq=None if config.use_pallas_vq else False,
+        use_fused_residual=None if config.use_fused_residual else False,
         use_remat=config.use_remat,
     )
 
@@ -335,7 +336,13 @@ def training(config: VQVAEConfig) -> Dict[str, Any]:
         gate_released = jnp.zeros((), jnp.bool_)
         gate_check_every = max(1, min(int(config.finetune_patience), 16))
     step_fn = build_step(not g_frozen)
-    eval_step = jax.jit(make_vqvae_eval_step(model, loss_name=config.loss))
+    # eval is forward-only — the fused residual kernel only wins under
+    # the remat backward, so the evaluator always takes the XLA path
+    eval_step = jax.jit(
+        make_vqvae_eval_step(
+            model.clone(use_fused_residual=False), loss_name=config.loss
+        )
+    )
 
     tb_train = TBLogger(f"{dirs['logs_directory']}/train", enabled=config.rank == 0)
     tb_val = TBLogger(f"{dirs['logs_directory']}/val_eval", enabled=config.rank == 0)
@@ -588,7 +595,10 @@ def inference(config: VQVAEConfig) -> Dict[str, Any]:
 
     logger, dirs, ckpt_path, _, rng = basic_initialization(config, f"vqvae-{config.mode}")
 
-    model = build_vqvae(config)
+    # forward-only modes never fuse the residual layers: XLA's in-graph
+    # conv fusion beats the kernel there (BASELINE.md round 5 — the
+    # kernel's win is remat-training-only); param structure is identical
+    model = build_vqvae(config).clone(use_fused_residual=False)
 
     # The reference's inference engine also loads the discriminator when
     # adversarial training was on, scores the reconstruction/sample as

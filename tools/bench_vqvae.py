@@ -55,6 +55,8 @@ def main():
         n_embed=2048, embed_dim=32, n_channels=256, n_res_channels=256,
         n_res_layers=3, dtype=jnp.bfloat16,
         use_remat=bool(kw.get("remat", True)),
+        # --fused_res=False ablates the fused residual-layer kernel
+        use_fused_residual=None if bool(kw.get("fused_res", True)) else False,
     )
 
     cpu = jax.local_devices(backend="cpu")[0]
@@ -66,15 +68,21 @@ def main():
 
     if recon:
         # ---- config 1: extract+decode round trip -----------------------
+        # production forward-only behavior: fused residual off (the
+        # kernel is a remat-training-only win); --fused_recon ablates
+        recon_model = (
+            model if bool(kw.get("fused_recon", False))
+            else model.clone(use_fused_residual=False)
+        )
         with jax.default_device(cpu):
             x1 = jnp.zeros((1,) + init_shape + (1,), jnp.float32)
-            variables = model.init(jax.random.key(0), x1)
+            variables = recon_model.init(jax.random.key(0), x1)
         variables = jax.device_put(variables, dev)
 
         @jax.jit
         def roundtrip(variables, x):
-            idx = model.apply(variables, x, method=model.index_quantize)
-            out = model.apply(variables, idx, method=model.decode_samples)
+            idx = recon_model.apply(variables, x, method=recon_model.index_quantize)
+            out = recon_model.apply(variables, idx, method=recon_model.decode_samples)
             # consume the volume ON DEVICE: the axon tunnel transfers
             # large outputs to host at ~0.01 GB/s, so np.asarray on the
             # 11.5 MB volume would dominate the timing (round-4 finding;

@@ -88,7 +88,9 @@ def run(
     latent_shape = tuple(int(s) for s in latent_shape)
     ordering = build_ordering(t_cfg, latent_shape)
     performer = build_performer(t_cfg, ordering, latent_shape)
-    vqvae = build_vqvae(v_cfg)
+    # decode is forward-only: the fused residual kernel is a remat-
+    # training-only win (BASELINE.md round 5)
+    vqvae = build_vqvae(v_cfg).clone(use_fused_residual=False)
 
     # restore both checkpoints
     t_ck, _ = C.check_for_checkpoints(
